@@ -78,6 +78,27 @@ def scatter_count(cells, valid, shape_hw) -> jnp.ndarray:
     return buf[: h * w].reshape(h, w)
 
 
+def scatter_presence(cells, valid, shape_hw) -> jnp.ndarray:
+    """int32 [H, W]: number of *agents* (leading dim of cells) covering a cell.
+
+    Each agent's duplicate cell hits (several 0.01 m samples per 0.015 m cell)
+    are deduplicated by sorting its flattened cell ids and keeping first
+    occurrences, so each agent contributes at most 1 per cell.
+    cells: [A, P, 2]; valid: [A, P].
+    """
+    h, w = shape_hw
+    flat, inside = _flat_idx(cells, shape_hw)           # [A,P]
+    flat = jnp.where(valid & inside, flat, h * w)
+    s = jnp.sort(flat, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((s.shape[0], 1), bool), s[:, 1:] != s[:, :-1]], axis=1
+    )
+    weight = jnp.where(first & (s < h * w), 1, 0)
+    buf = jnp.zeros((h * w + 1,), jnp.int32)
+    buf = buf.at[s.reshape(-1)].add(weight.reshape(-1), mode="drop")
+    return buf[: h * w].reshape(h, w)
+
+
 def stamp_value(grid: jnp.ndarray, cells, valid, value: int) -> jnp.ndarray:
     """Write ``value`` into covered in-map cells of a uint8 grid."""
     h, w = grid.shape
@@ -133,7 +154,7 @@ def build_layers(
 
     rp = transform_points(robot_pose, robot_points)
     r_cells = world_to_cell(rp, resolution)
-    robot_count = scatter_count(r_cells, robot_mask, hw)
+    robot_count = scatter_presence(r_cells, robot_mask, hw)
 
     pb = transform_points(ped_pose, ped_body_points)
     pl = transform_points(ped_pose, ped_left_points)
@@ -159,9 +180,18 @@ def cell_categories(layers: OccupancyLayers) -> Tuple[jnp.ndarray, jnp.ndarray]:
     A cell reads as ped (value 1) if a right leg stamped it (even over an
     obstacle) or a weak ped stamp landed on a non-obstacle cell; it reads as
     obstacle (value 0) only if the map value is 0 and no right leg overwrote.
+    Static-map cells whose gray value happens to be exactly 1 also read as
+    "ped" in the reference (value aliasing); preserved here.
     """
     obs0 = layers.obs_map == 0
-    is_ped = layers.ped_strong | (layers.ped_weak & jnp.logical_not(obs0))
+    # weak stamps only land on cells that are not 0/1/2; value-1 cells already
+    # read as ped, value-2 cells keep reading as robot.
+    writable = jnp.logical_not(obs0 | (layers.obs_map == 1) | (layers.obs_map == 2))
+    is_ped = (
+        layers.ped_strong
+        | (layers.ped_weak & writable)
+        | ((layers.obs_map == 1) & jnp.logical_not(obs0))
+    )
     is_obs = obs0 & jnp.logical_not(layers.ped_strong)
     return is_ped, is_obs
 
@@ -188,27 +218,27 @@ def _gather_map(grid: jnp.ndarray, cells, fill):
     return jnp.where(inside, vals, fill), inside
 
 
-def own_count_correction(r_cells, r_valid, local_extent: int = 64):
-    """Per-point multiplicity of a robot's own samples within its own cells.
+def own_local_maps(r_cells, r_valid, local_extent: int = 64):
+    """Per-robot local occupancy of the robot's *own* cells.
 
-    Maps each robot's sample cells into a small local grid anchored at the
-    cell-min corner and counts duplicates there — O(P) per robot with a tiny
-    scatter, instead of an [H,W] map per robot.
+    Returns (maps [N,E,E] bool, origins [N,2] int32).  Used to exclude a
+    robot's own footprint when it samples the shared robot-count map (the
+    reference instead draws only robots j != i into robot i's map copy,
+    img_env.cpp:620-629).
     """
 
     def one(cells, valid):
         origin = jnp.min(jnp.where(valid[:, None], cells, 10**8), axis=0)
         loc = cells - origin
-        flat = jnp.where(
+        ok = (
             valid
             & (loc[:, 0] >= 0) & (loc[:, 0] < local_extent)
-            & (loc[:, 1] >= 0) & (loc[:, 1] < local_extent),
-            loc[:, 0] * local_extent + loc[:, 1],
-            local_extent * local_extent,
+            & (loc[:, 1] >= 0) & (loc[:, 1] < local_extent)
         )
-        buf = jnp.zeros((local_extent * local_extent + 1,), jnp.int32)
-        buf = buf.at[flat].add(jnp.where(valid, 1, 0), mode="drop")
-        return buf[flat]
+        flat = jnp.where(ok, loc[:, 0] * local_extent + loc[:, 1], local_extent**2)
+        buf = jnp.zeros((local_extent**2 + 1,), jnp.int32)
+        buf = buf.at[flat].max(jnp.where(ok, 1, 0), mode="drop")
+        return buf[: local_extent**2].reshape(local_extent, local_extent).astype(bool), origin
 
     return jax.vmap(one)(r_cells, r_valid)
 
@@ -229,8 +259,11 @@ def collision_codes(
     ped_hit, _ = _gather_map(is_ped, cells, False)
     obs_hit, _ = _gather_map(is_obs, cells, False)
     count_hit, inside = _gather_map(layers.robot_count, cells, 0)
-    own = own_count_correction(cells, valid)
-    other_robot = (count_hit - own) > 0
+    # robot_count counts distinct robots per cell, and a robot's own footprint
+    # cells are own-covered by construction, so "another robot here" is
+    # simply count >= 2.  Static-map gray value 2 aliases to "robot" too.
+    alias2, _ = _gather_map(layers.obs_map == 2, cells, False)
+    other_robot = (count_hit > 1) | alias2
 
     # Draw-priority category per point; 0 = no hit.
     code = jnp.where(

@@ -232,6 +232,76 @@ def oracle_draw(
     return is_collision
 
 
+def oracle_draw_leg(
+    grid: OracleGrid,
+    pose: np.ndarray,
+    left_bbox: np.ndarray,
+    right_bbox: np.ndarray,
+    left_offset: Tuple[float, float],
+    right_offset: Tuple[float, float],
+    value: int,
+) -> bool:
+    """PedAgent::draw_leg (agent.cpp:737-774).
+
+    Quirk preserved: the left leg refuses to overwrite obstacle cells (==0)
+    while the right leg overwrites *anything* that is not already a ped cell.
+    """
+    is_collision = False
+    c, s = math.cos(pose[2]), math.sin(pose[2])
+    for px, py in np.asarray(left_bbox, np.float64):
+        bx, by = px + left_offset[0], py + left_offset[1]
+        wx = c * bx - s * by + pose[0]
+        wy = s * bx + c * by + pose[1]
+        m, n = grid.world2map(wx, wy)
+        if grid.in_map(m, n):
+            if grid.map[m, n] == CELL_OBSTACLE:
+                is_collision = True
+            elif value >= 0:
+                grid.map[m, n] = value
+    for px, py in np.asarray(right_bbox, np.float64):
+        bx, by = px + right_offset[0], py + right_offset[1]
+        wx = c * bx - s * by + pose[0]
+        wy = s * bx + c * by + pose[1]
+        m, n = grid.world2map(wx, wy)
+        if grid.in_map(m, n):
+            if grid.map[m, n] == CELL_PED:
+                is_collision = True
+            elif value >= 0:
+                grid.map[m, n] = value
+    return is_collision
+
+
+def oracle_compose_scene(
+    static_map: np.ndarray,
+    resolution: float,
+    obstacles: list,   # [(pose[3], bbox[P,2])]
+    peds: list,        # [(pose[3], kind, payload)] kind in {"circle","leg"}
+                       # circle payload: bbox; leg payload: (lb, rb, loff, roff)
+    robots: list,      # [(pose[3], bbox[P,2])]
+):
+    """Replicates _reset obstacle draw + view_ped + view_robot layer stack
+    (img_env.cpp:169-193, 594-629).  Returns (obs_map, peds_map,
+    per-robot global maps)."""
+    obs_grid = OracleGrid(static_map, resolution)
+    for pose, bbox in obstacles:
+        oracle_draw(obs_grid, pose, bbox, 0, "world_map")
+    peds_grid = OracleGrid(obs_grid.map.copy(), resolution)
+    for pose, kind, payload in peds:
+        if kind == "circle":
+            oracle_draw(peds_grid, pose, payload, CELL_PED, "world_map")
+        else:
+            lb, rb, loff, roff = payload
+            oracle_draw_leg(peds_grid, pose, lb, rb, loff, roff, CELL_PED)
+    robot_maps = []
+    for i in range(len(robots)):
+        g = OracleGrid(peds_grid.map.copy(), resolution)
+        for j, (pose, bbox) in enumerate(robots):
+            if j != i:
+                oracle_draw(g, pose, bbox, CELL_ROBOT, "world_map")
+        robot_maps.append(g)
+    return obs_grid, peds_grid, robot_maps
+
+
 # ---------------------------------------------------------------------------
 # Egocentric view + laser (agent.cpp:356-509, 511-624)
 # ---------------------------------------------------------------------------
