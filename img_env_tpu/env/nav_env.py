@@ -1,0 +1,576 @@
+"""The core navigation environment: jitted, functional reset/step.
+
+One ``NavEnv`` owns the host-built static data (maps, footprints, sampler
+spec, sensor geometry) and exposes pure functions over ``WorldState``:
+
+    state, obs = env.reset(key)
+    state, obs, reward, done, info = env.step(state, actions)
+
+Everything inside runs in one XLA program per call — the reference's
+Python <-> ROS <-> C++ round trip per step (SURVEY.md §3.3) collapses into a
+single on-device step.  Batch over scenes with ``jax.vmap`` (see
+parallel/sharded_env.py for the mesh version).
+
+Step pipeline (ordering matches ImgEnv::_step, img_env.cpp:421-525):
+  crowd step -> robot kinematics -> occupancy layers -> collision codes ->
+  egocentric views + laser -> observation assembly -> reward/done.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from img_env_tpu.config import EnvConfig
+from img_env_tpu.constants import ARRIVE_DIST
+from img_env_tpu.core.state import (
+    CrowdAuxState,
+    Observation,
+    ObstacleState,
+    PedState,
+    RobotState,
+    WorldState,
+)
+from img_env_tpu.crowd import common as crowd_common
+from img_env_tpu.crowd import gait as gait_mod
+from img_env_tpu.crowd import orca as orca_mod
+from img_env_tpu.crowd import sfm as sfm_mod
+from img_env_tpu.dynamics.kinematics import batched_robot_cmd
+from img_env_tpu.dynamics.limiter import LimiterParams
+from img_env_tpu.env import maps as maps_mod
+from img_env_tpu.env import observe, rewards
+from img_env_tpu.env.sampler import SamplerSpec, obstacle_corners, sample_scenario
+from img_env_tpu.ops import raster
+from img_env_tpu.ops.footprint import circle_points, rectangle_points
+from img_env_tpu.ops.resize import sensor_map_from_view
+from img_env_tpu.ops.view import (
+    ViewParams,
+    ViewStatics,
+    own_view_cells,
+    render_robot_view,
+)
+
+
+def _pad_clouds(clouds):
+    pmax = max(max((c.shape[0] for c in clouds), default=1), 1)
+    pts = np.zeros((len(clouds), pmax, 2), np.float32)
+    msk = np.zeros((len(clouds), pmax), bool)
+    for i, c in enumerate(clouds):
+        pts[i, : c.shape[0]] = c
+        msk[i, : c.shape[0]] = True
+    return pts, msk
+
+
+class EnvStatics(NamedTuple):
+    """Host-precomputed constants closed over by the jitted functions."""
+
+    static_map: np.ndarray
+    resolution: float
+    robot_points: np.ndarray       # [N,P,2]
+    robot_mask: np.ndarray         # [N,P]
+    robot_radius: np.ndarray       # [N] last size element (for ped vectors)
+    ped_body_points: np.ndarray    # [M,Q,2] circle-ped bodies
+    ped_body_mask: np.ndarray
+    ped_left_points: np.ndarray    # [M,L,2] leg clouds at leg-frame origin
+    ped_left_mask: np.ndarray
+    ped_right_points: np.ndarray
+    ped_right_mask: np.ndarray
+    ped_rest_left: np.ndarray      # [M,2] configured leg offsets
+    ped_rest_right: np.ndarray
+    ped_is_leg: np.ndarray         # [M]
+    ped_r: np.ndarray              # [M] body radius, rounded 2dp
+    ped_max_speed: np.ndarray      # [M]
+    obs_points: np.ndarray         # [O,P,2]
+    obs_point_dist: np.ndarray     # [O,P]
+    obs_base_mask: np.ndarray      # [O,P]
+    obs_is_circle: np.ndarray      # [O]
+    view_params: ViewParams
+    view_statics: ViewStatics
+    own_view_cells: np.ndarray     # [N,P,2]
+    own_view_valid: np.ndarray     # [N,P]
+    sampler: SamplerSpec
+    limiter_v: LimiterParams
+    limiter_w: LimiterParams
+    orca_cfg: orca_mod.OrcaConfig
+
+
+def build_statics(cfg: EnvConfig) -> EnvStatics:
+    static_map = maps_mod.load_static_map(cfg)
+    res = float(cfg.view_map_resolution)
+
+    n, m, o = cfg.robot.total, cfg.ped_sim.total, cfg.object.total
+
+    rob_clouds = []
+    rob_radius = np.zeros(n, np.float32)
+    for i in range(n):
+        sh, sz = cfg.robot.shape[i], cfg.robot.size[i]
+        if sh == "circle":
+            rob_clouds.append(circle_points(sz[0], sz[1], sz[2]))
+        else:
+            rob_clouds.append(rectangle_points(sz[0], sz[1], sz[2], sz[3]))
+        rob_radius[i] = sz[-1]
+    robot_points, robot_mask = _pad_clouds(rob_clouds)
+
+    body_clouds, left_clouds, right_clouds = [], [], []
+    rest_l = np.zeros((m, 2), np.float32)
+    rest_r = np.zeros((m, 2), np.float32)
+    is_leg = np.zeros(m, bool)
+    ped_r = np.zeros(m, np.float32)
+    ped_ms = np.zeros(m, np.float32)
+    for j in range(m):
+        sh = cfg.ped_sim.shape[j]
+        sz = list(cfg.ped_sim.size[j])
+        ped_ms[j] = cfg.ped_sim.max_speed[j]
+        if sh == "leg":
+            # init_ped duplicates the left leg spec mirrored in y
+            # (reset_helper.py:400-404): sizes -> [x, y, r, x, -y, r]
+            full = sz + [sz[0], -sz[1], sz[2]]
+            left_clouds.append(circle_points(0.0, 0.0, full[2]))
+            right_clouds.append(circle_points(0.0, 0.0, full[5]))
+            body_clouds.append(np.zeros((0, 2), np.float32))
+            rest_l[j] = full[0:2]
+            rest_r[j] = full[3:5]
+            is_leg[j] = True
+            ped_r[j] = round(full[2], 2)
+        else:
+            body_clouds.append(circle_points(sz[0], sz[1], sz[2]))
+            left_clouds.append(np.zeros((0, 2), np.float32))
+            right_clouds.append(np.zeros((0, 2), np.float32))
+            ped_r[j] = round(sz[2], 2)
+    if m == 0:
+        body_clouds = [np.zeros((0, 2), np.float32)]
+        left_clouds = [np.zeros((0, 2), np.float32)]
+        right_clouds = [np.zeros((0, 2), np.float32)]
+    pb, pbm = _pad_clouds(body_clouds)
+    pl, plm = _pad_clouds(left_clouds)
+    pr, prm = _pad_clouds(right_clouds)
+    if m == 0:
+        pb, pbm = pb[:0], pbm[:0]
+        pl, plm = pl[:0], plm[:0]
+        pr, prm = pr[:0], prm[:0]
+
+    obs_clouds, obs_dists, obs_circ = [], [], np.zeros(o, bool)
+    for k in range(o):
+        sh = cfg.object.shape[k]
+        sr = cfg.object.size_range[k]
+        if sh == "circle":
+            c = circle_points(0.0, 0.0, max(sr[0], sr[1]))
+            obs_clouds.append(c)
+            obs_dists.append(np.hypot(c[:, 0], c[:, 1]))
+            obs_circ[k] = True
+        else:
+            c = rectangle_points(sr[0], sr[1], sr[2], sr[3])
+            obs_clouds.append(c)
+            obs_dists.append(np.zeros(c.shape[0], np.float32))
+    if o == 0:
+        obs_clouds = [np.zeros((1, 2), np.float32)]
+        obs_dists = [np.zeros(1, np.float32)]
+    op, om = _pad_clouds(obs_clouds)
+    od = np.zeros(op.shape[:2], np.float32)
+    for k, dd in enumerate(obs_dists[: op.shape[0]]):
+        od[k, : dd.shape[0]] = dd
+    if o == 0:
+        op, om, od = op[:0], om[:0], od[:0]
+
+    vp = ViewParams.from_config(cfg)
+    sensor0 = tuple(cfg.robot.sensor_cfgs[0]) if n else (0.0, 0.0)
+    vs = ViewStatics.build(vp, sensor0)
+    ovc = np.zeros((n,) + robot_points.shape[1:], np.int32)
+    ovm = np.zeros(robot_mask.shape, bool)
+    for i in range(n):
+        c_i, m_i = own_view_cells(robot_points[i], robot_mask[i], vp)
+        ovc[i], ovm[i] = c_i, m_i
+
+    return EnvStatics(
+        static_map=static_map, resolution=res,
+        robot_points=robot_points, robot_mask=robot_mask, robot_radius=rob_radius,
+        ped_body_points=pb, ped_body_mask=pbm,
+        ped_left_points=pl, ped_left_mask=plm,
+        ped_right_points=pr, ped_right_mask=prm,
+        ped_rest_left=rest_l, ped_rest_right=rest_r,
+        ped_is_leg=is_leg, ped_r=ped_r, ped_max_speed=ped_ms,
+        obs_points=op, obs_point_dist=od, obs_base_mask=om, obs_is_circle=obs_circ,
+        view_params=vp, view_statics=vs,
+        own_view_cells=ovc, own_view_valid=ovm,
+        sampler=SamplerSpec.from_config(cfg),
+        limiter_v=LimiterParams.from_config(cfg.speed_limiter_v),
+        limiter_w=LimiterParams.from_config(cfg.speed_limiter_w),
+        orca_cfg=orca_mod.OrcaConfig(
+            time_step=float(cfg.control_hz),
+            max_obs_segments=int(cfg.max_obs_segments),
+        ),
+    )
+
+
+class NavEnv:
+    """Gym-flavoured facade over the pure functions (single scene)."""
+
+    def __init__(self, cfg: EnvConfig, jit: bool = True):
+        self.cfg = cfg
+        self.statics = build_statics(cfg)
+        self.scene_type = cfg.ped_sim.type if cfg.ped_sim.total > 0 else "none"
+        self._reset = jax.jit(self.reset_fn) if jit else self.reset_fn
+        self._step = jax.jit(self.step_fn) if jit else self.step_fn
+
+    # ------------------------------------------------------------------
+    # reset
+    # ------------------------------------------------------------------
+    def reset_fn(self, key, carry: Optional[WorldState] = None):
+        st = self.statics
+        cfg = self.cfg
+        n, m = cfg.robot.total, cfg.ped_sim.total
+        k_sample, k_state = jax.random.split(key)
+        sc = sample_scenario(k_sample, st.sampler)
+
+        # obstacle map: stamp sampled footprints into the static map
+        dyn_mask = jnp.asarray(st.obs_base_mask) & (
+            jnp.logical_not(jnp.asarray(st.obs_is_circle))[:, None]
+            | (jnp.asarray(st.obs_point_dist) <= sc.obs_circle_r[:, None])
+        )
+        obs_map = raster.draw_obstacles(
+            jnp.asarray(st.static_map), st.resolution,
+            sc.obs_pose, jnp.asarray(st.obs_points), dyn_mask,
+        )
+        aabb = obstacle_corners(sc.obs_pose, st.sampler, sc.obs_circle_r)
+
+        rob_init = sc.init_poses[:n]
+        rob_goal = sc.target_poses[:n]
+        ped_init = sc.init_poses[n:]
+        ped_goal = sc.target_poses[n:]
+
+        robots = RobotState(
+            pose=rob_init,
+            goal=rob_goal[:, :2],
+            goal_yaw=rob_init[:, 2],
+            vw_last0=jnp.zeros((n, 2)),
+            vw_last1=(carry.robots.vw_last1 if carry is not None else jnp.zeros((n, 2))),
+            vel_world=jnp.zeros((n, 2)),
+            collision=jnp.zeros((n,), jnp.int32),
+            arrive=jnp.zeros((n,), bool),
+            beep=jnp.zeros((n,), jnp.int32),
+        )
+
+        # trajectory: [goal] (+[start] when going back), reset_helper.py:337-342
+        wmax = 2
+        traj = jnp.zeros((m, wmax, 2))
+        if m:
+            traj = traj.at[:, 0].set(ped_goal[:, :2])
+            traj = traj.at[:, 1].set(
+                jnp.where(sc.go_back[:, None], ped_init[:, :2], ped_goal[:, :2])
+            )
+        traj_len = jnp.where(sc.go_back, 2, 1).astype(jnp.int32) if m else jnp.zeros((0,), jnp.int32)
+
+        peds = PedState(
+            pos=ped_init[:, :2],
+            yaw=ped_init[:, 2],
+            prev_pos=ped_init[:, :2],
+            vel=(carry.peds.vel if carry is not None else jnp.zeros((m, 2))),
+            traj=traj,
+            traj_len=traj_len,
+            traj_idx=jnp.zeros((m,), jnp.int32),
+            gait_state=(carry.peds.gait_state if carry is not None else jnp.zeros((m,), jnp.int32)),
+            gait_residual=(carry.peds.gait_residual if carry is not None else jnp.zeros((m,))),
+            leg_offset=jnp.stack(
+                [jnp.asarray(st.ped_rest_left), jnp.asarray(st.ped_rest_right)], axis=1
+            ) if m else jnp.zeros((0, 2, 2)),
+            sfm_wp_idx=jnp.zeros((m,), jnp.int32),
+            sfm_has_dest=jnp.ones((m,), bool),
+            sfm_lastdest=jnp.full((m,), -1, jnp.int32),
+        )
+
+        crowd_aux = CrowdAuxState(
+            robot_vel=(carry.crowd_aux.robot_vel if carry is not None else jnp.zeros((n, 2)))
+        )
+
+        obstacles = ObstacleState(
+            pose=sc.obs_pose,
+            size=jnp.zeros((sc.obs_pose.shape[0], 4)),
+            is_circle=jnp.asarray(st.obs_is_circle),
+            aabb=aabb,
+        )
+
+        state = WorldState(
+            robots=robots, peds=peds, crowd_aux=crowd_aux, obstacles=obstacles,
+            obs_map=obs_map,
+            obs_edt=jnp.zeros((1, 1)),
+            step=jnp.asarray(0, jnp.int32),
+            rng=k_state,
+            prev_goal_dist=jnp.zeros((n,)),
+            has_prev_dist=jnp.asarray(False),
+        )
+        state, obs = self._observe(state)
+        return state, obs
+
+    # ------------------------------------------------------------------
+    # step
+    # ------------------------------------------------------------------
+    def step_fn(self, state: WorldState, actions):
+        """actions: [N,3] (v, w, v_y/beep)."""
+        st = self.statics
+        cfg = self.cfg
+        n, m = cfg.robot.total, cfg.ped_sim.total
+
+        dones_prev = rewards.compute_dones(
+            state.robots.collision, state.robots.arrive.astype(jnp.int32)
+        )
+        alive = dones_prev == 0
+        v = jnp.where(alive, actions[:, 0], 0.0)
+        w = jnp.where(alive, actions[:, 1], 0.0)
+        v_y = jnp.where(alive, actions[:, 2], 0.0)
+
+        key_beep, key_next = jax.random.split(state.rng)
+
+        # ---- crowd step (uses previous robot mirrors) ----
+        peds, crowd_aux, beeps = self._crowd_step(state, v_y, key_beep)
+
+        # ---- robots ----
+        pose, l0, l1, vel, arrive_new = batched_robot_cmd(
+            state.robots.pose, state.robots.goal,
+            state.robots.vw_last0, state.robots.vw_last1,
+            state.robots.vel_world,
+            v, w, v_y, alive,
+            st.limiter_v, st.limiter_w,
+            float(cfg.control_hz), cfg.n_substeps, cfg.robot_type,
+        )
+        arrive = state.robots.arrive | arrive_new
+
+        robots = RobotState(
+            pose=pose, goal=state.robots.goal, goal_yaw=state.robots.goal_yaw,
+            vw_last0=l0, vw_last1=l1, vel_world=vel,
+            collision=state.robots.collision, arrive=arrive, beep=beeps,
+        )
+
+        new_state = WorldState(
+            robots=robots, peds=peds, crowd_aux=crowd_aux,
+            obstacles=state.obstacles, obs_map=state.obs_map,
+            obs_edt=state.obs_edt,
+            step=state.step + 1, rng=key_next,
+            prev_goal_dist=state.prev_goal_dist,
+            has_prev_dist=state.has_prev_dist,
+        )
+        new_state, obs = self._observe(new_state)
+
+        reward = rewards.base_reward(obs.is_collisions, obs.is_arrives)
+        done = rewards.compute_dones(obs.is_collisions, obs.is_arrives)
+        info = {
+            "dones_info": jnp.zeros((n,), jnp.int32),
+            "beeps": beeps,
+            "alive": alive,
+        }
+        return new_state, obs, reward, done, info
+
+    # ------------------------------------------------------------------
+    def _crowd_step(self, state: WorldState, v_y, key):
+        st = self.statics
+        cfg = self.cfg
+        n, m = cfg.robot.total, cfg.ped_sim.total
+        peds = state.peds
+        aux = state.crowd_aux
+
+        sources, radii, beeps = crowd_common.sample_beeps(
+            key, state.robots.pose, v_y, float(cfg.beep_r), float(cfg.ped_ca_p)
+        )
+
+        if m == 0 or self.scene_type in ("none", ""):
+            return peds, aux, beeps
+
+        goals, new_idx = crowd_common.advance_traj_goals(
+            peds.pos, peds.traj, peds.traj_len, peds.traj_idx
+        )
+
+        rel = int(cfg.relation_ped_robo) == 1
+        if self.scene_type in ("rvoscene", "ervoscene"):
+            pref = orca_mod.pref_velocity(peds.pos, goals)
+            rpos = state.robots.pose[:, :2] if rel else jnp.zeros((0, 2))
+            rvel = state.robots.vel_world if rel else jnp.zeros((0, 2))
+            seg = orca_mod.segments_from_aabbs(
+                state.obstacles.aabb,
+                jnp.ones(state.obstacles.aabb.shape[0], bool)
+                if not cfg.ped_sim.ignore_obstacle
+                else jnp.zeros(state.obstacles.aabb.shape[0], bool),
+            )
+            evac = (sources, radii) if self.scene_type == "ervoscene" else (None, None)
+            new_pos, new_vel = orca_mod.orca_step(
+                peds.pos, peds.vel, pref,
+                jnp.full((m,), self.statics.orca_cfg.radius),
+                jnp.asarray(st.ped_max_speed),
+                jnp.ones((m,), bool),
+                rpos, rvel,
+                jnp.ones((rpos.shape[0],), bool),
+                st.orca_cfg, seg,
+                evac_sources=evac[0], evac_radii=evac[1],
+            )
+            new_aux = aux
+        elif self.scene_type == "pedscene":
+            # peds + robot mirrors as one SFM population
+            all_pos = jnp.concatenate([peds.pos, state.robots.pose[:, :2]])
+            all_vel = jnp.concatenate([peds.vel, aux.robot_vel])
+            vmax = jnp.concatenate(
+                [jnp.asarray(st.ped_max_speed), jnp.full((n,), 1.2)]
+            )
+            valid = jnp.concatenate(
+                [jnp.ones((m,), bool), jnp.full((n,), rel)]
+            )
+            wp = sfm_mod.SfmWaypointState(
+                wp_xy=jnp.concatenate(
+                    [self._sfm_wp_xy(state), jnp.zeros((n, 3, 2))]
+                ),
+                wp_r=jnp.concatenate(
+                    [self._sfm_wp_r(state), jnp.zeros((n, 3))]
+                ),
+                wp_len=jnp.concatenate(
+                    [2 + (state.peds.traj_len > 1).astype(jnp.int32),
+                     jnp.zeros((n,), jnp.int32)]
+                ),
+                dest_idx=jnp.concatenate(
+                    [peds.sfm_wp_idx, jnp.zeros((n,), jnp.int32)]
+                ),
+                head=jnp.concatenate(
+                    [peds.sfm_lastdest * 0 + self._sfm_head(state), jnp.zeros((n,), jnp.int32)]
+                ),
+                has_dest=jnp.concatenate(
+                    [peds.sfm_has_dest, jnp.zeros((n,), bool)]
+                ),
+            )
+            seg_a = state.obstacles.aabb[:, :2]
+            seg_b = state.obstacles.aabb[:, 2:]
+            seg_valid = jnp.ones(seg_a.shape[0], bool) if not cfg.ped_sim.ignore_obstacle else jnp.zeros(seg_a.shape[0], bool)
+            new_all_pos, new_all_vel, new_wp = sfm_mod.sfm_step(
+                all_pos, all_vel, vmax, valid, wp, seg_a, seg_b, seg_valid,
+                float(cfg.control_hz),
+            )
+            new_pos = new_all_pos[:m]
+            new_vel = new_all_vel[:m]
+            new_aux = CrowdAuxState(robot_vel=new_all_vel[m:])
+            peds = peds._replace(
+                sfm_wp_idx=new_wp.dest_idx[:m],
+                sfm_has_dest=new_wp.has_dest[:m],
+                sfm_lastdest=new_wp.head[:m],   # head stored in lastdest slot
+            )
+        elif self.scene_type == "dataset":
+            # handled via stored trajectories at higher fidelity later; freeze
+            new_pos, new_vel = peds.pos, peds.vel
+            new_aux = aux
+        else:
+            new_pos, new_vel = peds.pos, peds.vel
+            new_aux = aux
+
+        yaw = jnp.arctan2(new_vel[:, 1], new_vel[:, 0])
+        move = jnp.linalg.norm(new_pos - peds.pos, axis=-1)
+        gstate, gres, legs = gait_mod.update_gait(
+            peds.gait_state, peds.gait_residual, move,
+            jnp.asarray(st.ped_rest_left), jnp.asarray(st.ped_rest_right),
+        )
+        new_peds = peds._replace(
+            pos=new_pos, yaw=yaw, prev_pos=peds.pos, vel=new_vel,
+            traj_idx=new_idx, gait_state=gstate, gait_residual=gres,
+            leg_offset=legs,
+        )
+        return new_peds, new_aux, beeps
+
+    def _sfm_wp_xy(self, state):
+        m = self.cfg.ped_sim.total
+        goal = state.peds.traj[:, 0]
+        start = state.peds.traj[:, 1]
+        return jnp.stack([goal, goal, start], axis=1)
+
+    def _sfm_wp_r(self, state):
+        m = self.cfg.ped_sim.total
+        return jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (m, 3))
+
+    def _sfm_head(self, state):
+        return state.peds.sfm_lastdest  # head travels in the lastdest slot
+
+    # ------------------------------------------------------------------
+    def _observe(self, state: WorldState) -> Tuple[WorldState, Observation]:
+        st = self.statics
+        cfg = self.cfg
+        n, m = cfg.robot.total, cfg.ped_sim.total
+
+        ped_pose3 = jnp.concatenate(
+            [state.peds.pos, state.peds.yaw[:, None]], axis=-1
+        ) if m else jnp.zeros((0, 3))
+
+        left_pts = jnp.asarray(st.ped_left_points) + state.peds.leg_offset[:, 0:1, :] if m else jnp.zeros((0, 1, 2))
+        right_pts = jnp.asarray(st.ped_right_points) + state.peds.leg_offset[:, 1:2, :] if m else jnp.zeros((0, 1, 2))
+        left_mask = jnp.asarray(st.ped_left_mask) if m else jnp.zeros((0, 1), bool)
+        right_mask = jnp.asarray(st.ped_right_mask) if m else jnp.zeros((0, 1), bool)
+        body_pts = jnp.asarray(st.ped_body_points) if m else jnp.zeros((0, 1, 2))
+        body_mask = jnp.asarray(st.ped_body_mask) if m else jnp.zeros((0, 1), bool)
+
+        layers = raster.build_layers(
+            state.obs_map, st.resolution,
+            state.robots.pose, jnp.asarray(st.robot_points), jnp.asarray(st.robot_mask),
+            ped_pose3, body_pts, body_mask,
+            left_pts, left_mask, right_pts, right_mask,
+        )
+        collision = raster.collision_codes(
+            layers, state.robots.collision, state.robots.arrive
+        )
+
+        own_maps, own_orig = raster.own_local_maps(
+            layers.robot_cells, layers.robot_cells_valid
+        )
+        vp, vs = st.view_params, st.view_statics
+        render = jax.vmap(
+            lambda pose, om, oo, vc, vm: render_robot_view(
+                layers, st.resolution, pose, om, oo, vc, vm, vs, vp
+            )
+        )
+        views, hits, angular = render(
+            state.robots.pose, own_maps, own_orig,
+            jnp.asarray(st.own_view_cells), jnp.asarray(st.own_view_valid),
+        )
+
+        sensor_maps = sensor_map_from_view(views, tuple(cfg.image_size))
+
+        vec = observe.vector_state(
+            state.robots.pose, state.robots.goal, state.robots.goal_yaw,
+            state.robots.vw_last0, int(cfg.state_dim),
+        )
+        if m:
+            ped_vec, ped_map, ped_min = observe.ped_vectors_and_map(
+                state.robots.pose, state.peds.pos, state.peds.vel,
+                jnp.asarray(st.ped_r), jnp.asarray(st.robot_radius),
+                int(cfg.max_ped), int(cfg.ped_vec_dim),
+                int(cfg.ped_image_size[0]), float(cfg.ped_image_r),
+            )
+        else:
+            ped_vec = jnp.zeros((n, 1 + cfg.ped_vec_dim * cfg.max_ped))
+            ped_map = jnp.zeros((n, 3, cfg.ped_image_size[0], cfg.ped_image_size[1]))
+            ped_min = jnp.full((n,), jnp.inf)
+
+        dist = observe.goal_distances(vec)
+        step_ds = jnp.where(state.has_prev_dist, state.prev_goal_dist - dist, 0.0)
+
+        lasers = observe.norm_lasers(hits, float(cfg.laser_max), cfg.laser_norm)
+
+        obs = Observation(
+            vector_states=vec,
+            sensor_maps=sensor_maps,
+            is_collisions=collision,
+            is_arrives=state.robots.arrive.astype(jnp.int32),
+            lasers=lasers,
+            ped_vector_states=ped_vec,
+            ped_maps=ped_map,
+            step_ds=step_ds,
+            ped_min_dists=ped_min,
+        )
+        new_state = state._replace(
+            robots=state.robots._replace(collision=collision),
+            prev_goal_dist=dist,
+            has_prev_dist=jnp.asarray(True),
+        )
+        return new_state, obs
+
+    # ------------------------------------------------------------------
+    def reset(self, key, carry: Optional[WorldState] = None):
+        return self._reset(key) if carry is None else self._reset(key, carry)
+
+    def step(self, state, actions):
+        return self._step(state, jnp.asarray(actions))

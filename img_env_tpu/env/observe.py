@@ -1,0 +1,153 @@
+"""Observation assembly — the TPU equivalent of ``get_states`` +
+``ImageEnv._get_states`` (img_env.cpp:547-587, yaml_env.py:446-481).
+
+Everything is computed on-device per robot; the reference's per-robot Python
+loops become vmapped tensor ops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from img_env_tpu.core.state import Observation
+
+
+def vector_state(pose, goal_xy, goal_yaw, vw_last0, state_dim: int):
+    """Goal in base frame (+yaw / velocities), Agent::get_state
+    (agent.cpp:156-184). pose [N,3]."""
+    d = goal_xy - pose[:, :2]
+    c, s = jnp.cos(pose[:, 2]), jnp.sin(pose[:, 2])
+    bx = c * d[:, 0] + s * d[:, 1]
+    by = -s * d[:, 0] + c * d[:, 1]
+    yaw = jnp.arctan2(
+        jnp.sin(goal_yaw - pose[:, 2]), jnp.cos(goal_yaw - pose[:, 2])
+    )
+    if state_dim == 3:
+        return jnp.stack([bx, by, yaw], -1)
+    if state_dim == 4:
+        return jnp.stack([bx, by, vw_last0[:, 0], vw_last0[:, 1]], -1)
+    if state_dim == 5:
+        return jnp.stack([bx, by, yaw, vw_last0[:, 0], vw_last0[:, 1]], -1)
+    raise ValueError(f"state_dim {state_dim} not in (3, 4, 5)")
+
+
+def peds_in_base(robot_pose, ped_pos, ped_vel):
+    """Ped positions/velocities in each robot's base frame
+    (img_env.cpp:568-583). Returns (px, py, vx, vy) each [N,M]."""
+    d = ped_pos[None, :, :] - robot_pose[:, None, :2]     # [N,M,2]
+    c, s = jnp.cos(robot_pose[:, 2]), jnp.sin(robot_pose[:, 2])
+    px = c[:, None] * d[..., 0] + s[:, None] * d[..., 1]
+    py = -s[:, None] * d[..., 0] + c[:, None] * d[..., 1]
+    vx = c[:, None] * ped_vel[None, :, 0] + s[:, None] * ped_vel[None, :, 1]
+    vy = -s[:, None] * ped_vel[None, :, 0] + c[:, None] * ped_vel[None, :, 1]
+    return px, py, vx, vy
+
+
+def ped_vectors_and_map(
+    robot_pose,            # [N,3]
+    ped_pos, ped_vel,      # [M,2]
+    ped_r,                 # [M] body radius (sizes_[2], rounded to 2 decimals)
+    robot_r,               # [N] robot radius (last size element)
+    max_ped: int,
+    ped_vec_dim: int,
+    image_size: int,
+    ped_image_r: float,
+):
+    """Sorted 7-dim ped vectors, 3-channel ped maps, nearest-ped clearances.
+
+    Mirrors yaml_env.py:392-458: peds sorted by base-frame range^2; the map
+    covers ±3 m at 6/image_size resolution with channels (occupancy, vx, vy);
+    later (farther) peds overwrite earlier pixels; ped_min_dist is the nearest
+    ped's distance minus (ped_r + robot_r).
+    """
+    n = robot_pose.shape[0]
+    m = ped_pos.shape[0]
+    res = 6.0 / image_size
+
+    px, py, vx, vy = peds_in_base(robot_pose, ped_pos, ped_vel)
+    range_sq = px * px + py * py
+    order = jnp.argsort(range_sq, axis=1)                  # [N,M] ascending
+    tk = lambda x: jnp.take_along_axis(x, order, axis=1)
+    px, py, vx, vy = tk(px), tk(py), tk(vx), tk(vy)
+    rr = jnp.take_along_axis(jnp.broadcast_to(ped_r[None, :], (n, m)), order, axis=1)
+
+    # ---- ped vector [N, 1 + ped_vec_dim*max_ped] ----
+    k = min(m, max_ped)
+    vec = jnp.zeros((n, 1 + ped_vec_dim * max_ped), px.dtype)
+    vec = vec.at[:, 0].set(jnp.asarray(m, px.dtype))
+    if k > 0:
+        dist = jnp.sqrt(px[:, :k] ** 2 + py[:, :k] ** 2)
+        block = jnp.stack(
+            [px[:, :k], py[:, :k], vx[:, :k], vy[:, :k],
+             jnp.broadcast_to(rr[:, :k], (n, k)),
+             rr[:, :k] + robot_r[:, None],
+             dist],
+            axis=-1,
+        )  # [N,k,7]
+        vec = jax.lax.dynamic_update_slice(
+            vec, block.reshape(n, k * ped_vec_dim), (0, 1)
+        )
+        ped_min = jnp.where(
+            m > 0, dist[:, 0] - (rr[:, 0] + robot_r), jnp.inf
+        )
+    else:
+        ped_min = jnp.full((n,), jnp.inf, px.dtype)
+
+    # ---- ped map [N,3,H,W] ----
+    hs = image_size
+    jj = (jnp.arange(hs, dtype=px.dtype) + 0.5) * res      # pixel centers
+    tmx = -px + 3.0                                        # [N,M]
+    tmy = -py + 3.0
+    in_win = (px <= 3.0) & (px >= -3.0) & (py <= 3.0) & (py >= -3.0)
+    dx2 = (jj[None, None, :] - tmx[:, :, None]) ** 2       # [N,M,H]
+    dy2 = (jj[None, None, :] - tmy[:, :, None]) ** 2
+    in_x, in_y = pixel_cover_bounds_exact(tmx, tmy, res, ped_image_r, hs)
+    cover = (
+        ((dx2[:, :, :, None] + dy2[:, :, None, :]) < ped_image_r**2)
+        & in_win[:, :, None, None]
+        & in_x[:, :, :, None]
+        & in_y[:, :, None, :]
+    )                                                      # [N,M,H,W]
+    # later (sorted-farther) peds overwrite: pick the last covering index
+    rev = jnp.flip(cover, axis=1)
+    any_cover = jnp.any(cover, axis=1)
+    last = m - 1 - jnp.argmax(rev, axis=1)                 # [N,H,W]
+    sel = lambda arr: jnp.take_along_axis(
+        jnp.broadcast_to(arr[:, :, None, None], cover.shape),
+        last[:, None, :, :], axis=1,
+    )[:, 0]
+    ped_map = jnp.stack(
+        [
+            jnp.where(any_cover, 1.0, 0.0),
+            jnp.where(any_cover, sel(vx), 0.0),
+            jnp.where(any_cover, sel(vy), 0.0),
+        ],
+        axis=1,
+    )
+    return vec, ped_map, ped_min
+
+
+def pixel_cover_bounds_exact(tmx, tmy, res, ped_image_r, image_size):
+    """The reference only tests pixels whose *index* lies inside the floor-div
+    box [floor((tm-r)/res), floor((tm+r)/res)) (yaml_env.py:414-418), so a
+    covering pixel at the box's right-open edge is skipped.  This helper
+    reproduces that gate for exactness tests."""
+    lo_x = jnp.floor((tmx - ped_image_r) / res)
+    hi_x = jnp.floor((tmx + ped_image_r) / res)
+    lo_y = jnp.floor((tmy - ped_image_r) / res)
+    hi_y = jnp.floor((tmy + ped_image_r) / res)
+    idx = jnp.arange(image_size, dtype=tmx.dtype)
+    in_x = (idx[None, None, :] >= lo_x[..., None]) & (idx[None, None, :] < hi_x[..., None])
+    in_y = (idx[None, None, :] >= lo_y[..., None]) & (idx[None, None, :] < hi_y[..., None])
+    return in_x, in_y
+
+
+def norm_lasers(hits, laser_max: float, laser_norm: bool):
+    return hits / laser_max if laser_norm else hits
+
+
+def goal_distances(vec_states):
+    return jnp.sqrt(vec_states[:, 0] ** 2 + vec_states[:, 1] ** 2)

@@ -1,0 +1,114 @@
+"""End-to-end environment smoke tests on small configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from img_env_tpu.config import EnvConfig
+
+
+def _small_cfg(ped_type="rvoscene", n_ped=2, n_rob=2, n_obs=2):
+    return EnvConfig.from_dict(
+        {
+            "robot": {
+                "total": n_rob,
+                "shape": ["circle"],
+                "size": [[0.0, 0.0, 0.17]],
+                "begin_poses_type": ["range"],
+                "begin_poses": [[2.0, 9.0, 2.0, 9.0]],
+                "target_poses_type": ["range"],
+                "target_poses": [[2.0, 9.0, 2.0, 9.0]],
+            },
+            "object": {
+                "total": n_obs,
+                "shape": ["circle", "rectangle"],
+                "size_range": [[0.2, 0.3], [-0.15, 0.15, -0.15, 0.15]],
+                "poses_type": ["range"],
+                "poses": [[2.5, 8.5, 2.5, 8.5]],
+            },
+            "ped_sim": {
+                "total": n_ped,
+                "type": ped_type,
+                "max_speed": [0.5],
+                "shape": ["leg", "circle"],
+                "size": [[0, 0.1, 0.1], [0, 0, 0.17]],
+                "begin_poses_type": ["range"],
+                "begin_poses": [[2.0, 9.0, 2.0, 9.0]],
+                "target_poses_type": ["range"],
+                "target_poses": [[2.0, 9.0, 2.0, 9.0]],
+                "go_back": "yes",
+            },
+            "global_map": {"resolution": 0.1, "map_file": "room_10.png"},
+            "view_map": {"resolution": 0.05, "width": 3, "height": 3},
+            "image_size": [48, 48],
+            "ped_image_size": [48, 48],
+            "range_total": 96,
+            "control_hz": 0.4,
+            "max_ped": 4,
+        }
+    )
+
+
+@pytest.mark.parametrize("ped_type", ["rvoscene", "ervoscene", "pedscene"])
+def test_env_reset_step(ped_type):
+    from img_env_tpu.env.nav_env import NavEnv
+
+    cfg = _small_cfg(ped_type)
+    env = NavEnv(cfg, jit=True)
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+
+    n = cfg.robot.total
+    assert obs.sensor_maps.shape == (n, 48, 48)
+    assert obs.lasers.shape == (n, 96)
+    assert obs.ped_maps.shape == (n, 3, 48, 48)
+    assert obs.vector_states.shape == (n, 3)
+    assert obs.ped_vector_states.shape == (n, 1 + 7 * 4)
+    np.testing.assert_array_equal(np.asarray(obs.step_ds), 0.0)
+
+    acts = jnp.tile(jnp.asarray([[0.4, 0.2, 0.0]]), (n, 1))
+    for i in range(5):
+        state, obs, reward, done, info = env.step(state, acts)
+        assert obs.sensor_maps.shape == (n, 48, 48)
+        assert np.isfinite(np.asarray(obs.vector_states)).all()
+        assert np.isfinite(np.asarray(obs.lasers)).all()
+        assert np.asarray(obs.is_collisions).max() <= 3
+
+    # peds should have moved under the crowd model
+    if cfg.ped_sim.total:
+        moved = np.linalg.norm(
+            np.asarray(state.peds.pos) - np.asarray(state.peds.prev_pos), axis=-1
+        )
+        assert np.isfinite(moved).all()
+
+
+def test_env_no_peds():
+    from img_env_tpu.env.nav_env import NavEnv
+
+    cfg = _small_cfg(n_ped=0)
+    env = NavEnv(cfg, jit=True)
+    state, obs = env.reset(jax.random.PRNGKey(1))
+    n = cfg.robot.total
+    state, obs, reward, done, info = env.step(
+        state, jnp.tile(jnp.asarray([[0.5, 0.0, 0.0]]), (n, 1))
+    )
+    assert obs.sensor_maps.shape == (n, 48, 48)
+    assert np.asarray(obs.ped_min_dists).min() == np.inf
+
+
+def test_env_arrival_latches():
+    from img_env_tpu.env.nav_env import NavEnv
+
+    cfg = _small_cfg(n_ped=0, n_obs=0, n_rob=1)
+    env = NavEnv(cfg, jit=True)
+    state, obs = env.reset(jax.random.PRNGKey(2))
+    # drive straight toward the goal using the base-frame goal bearing
+    for i in range(60):
+        vec = np.asarray(obs.vector_states)[0]
+        ang = np.arctan2(vec[1], vec[0])
+        acts = jnp.asarray([[0.6, np.clip(2.0 * ang, -0.9, 0.9), 0.0]])
+        state, obs, reward, done, info = env.step(state, acts)
+        if np.asarray(done)[0] > 0:
+            break
+    assert np.asarray(obs.is_arrives)[0] == 1 or np.asarray(obs.is_collisions)[0] > 0
