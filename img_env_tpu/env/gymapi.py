@@ -1,0 +1,115 @@
+"""Drop-in gym-style facade mirroring the reference's user API.
+
+``make_env(cfg)`` accepts the reference's yaml path / dict / EnvConfig and
+returns an object with the familiar surface:
+
+    env = make_env("envs/cfg/test.yaml")
+    state = env.reset()                      # ObsStateTmp-style list or state
+    state, rewards, dones, info = env.step(actions)
+
+Internally everything runs through the jitted NavEnv; this wrapper only
+converts to numpy at the boundary and implements the stateful conveniences
+(auto-reset, episode metrics) that the reference provides via Gym wrappers
+(envs/__init__.py:24-33, envs/wrapper/*).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from img_env_tpu.config import EnvConfig, read_yaml
+from img_env_tpu.env.nav_env import NavEnv
+from img_env_tpu.env.wrappers import StackedObs, WrapperStack
+from img_env_tpu.utils.metrics import EpisodeMetrics
+
+
+class ImgNavEnv:
+    """Stateful single-scene environment with the reference's step contract."""
+
+    def __init__(self, cfg: EnvConfig, seed: int = 0):
+        self.cfg = cfg
+        self.core = NavEnv(cfg)
+        self.stack = WrapperStack(cfg)
+        self._key = jax.random.PRNGKey(seed)
+        self._state = None
+        self._ws = None
+        self.robot_total = cfg.robot.total
+        self.ped_total = cfg.ped_sim.total
+        self.metrics = EpisodeMetrics(cfg)
+        self._obs_filter = self._pick_filter(cfg)
+
+    @staticmethod
+    def _pick_filter(cfg: EnvConfig):
+        w = set(cfg.wrapper)
+        if "ObsLaserStateTmp" in w:
+            return "laser"
+        if "ObsStateTmp" in w:
+            return "image"
+        return None
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _filtered(self, sobs: StackedObs):
+        if self._obs_filter == "laser":
+            return [
+                np.asarray(sobs.lasers),
+                np.asarray(sobs.vector_states),
+                np.asarray(sobs.raw.ped_maps),
+            ]
+        if self._obs_filter == "image":
+            return [
+                np.asarray(sobs.sensor_maps),
+                np.asarray(sobs.vector_states),
+                np.asarray(sobs.raw.ped_maps),
+            ]
+        return sobs
+
+    def reset(self, **kwargs):
+        carry = self._state if kwargs.get("carry", True) and self._state is not None else None
+        self._state, obs = self.core.reset(self._next_key(), carry)
+        if self._ws is None:
+            self._ws = self.stack.init_state()
+        self._ws, sobs = self.stack.on_reset(self._ws, obs)
+        return self._filtered(sobs)
+
+    def step(self, actions):
+        from img_env_tpu.env.wrappers import vel_action_map
+
+        if self.stack.use_vel_action:
+            cmds, speeds = vel_action_map(self.cfg, jnp.asarray(actions))
+        else:
+            cmds = jnp.asarray(actions, jnp.float32).reshape(self.robot_total, -1)
+            if cmds.shape[-1] < 3:
+                cmds = jnp.concatenate(
+                    [cmds, jnp.zeros((self.robot_total, 3 - cmds.shape[-1]))], -1
+                )
+            speeds = cmds[:, :2]
+        self._state, obs, reward, done, info = self.core.step(self._state, cmds)
+        info = dict(info)
+        info["speeds"] = speeds
+        self._ws, sobs, reward, done, info = self.stack.on_step(
+            self._ws, obs, reward, done, info
+        )
+        np_info = {k: np.asarray(v) for k, v in info.items()}
+        self.metrics.add_step(np_info)
+
+        if self.stack.use_never_stop and bool(np.asarray(info["all_down"])):
+            self.metrics.end_episode(np_info["dones_info"])
+            obs_out = self.reset()
+        else:
+            obs_out = self._filtered(sobs)
+        return obs_out, np.asarray(reward), np.asarray(done), np_info
+
+
+def make_env(cfg: Union[str, dict, EnvConfig], seed: int = 0) -> ImgNavEnv:
+    if isinstance(cfg, str):
+        cfg = EnvConfig.from_dict(read_yaml(cfg))
+    elif isinstance(cfg, dict):
+        cfg = EnvConfig.from_dict(cfg)
+    return ImgNavEnv(cfg, seed=seed)

@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: repeat test runs skip recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_img_env_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest
