@@ -1,0 +1,111 @@
+"""Headline benchmark: MPC rollouts/s/chip at the 200-robot / 200-obstacle config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric counts candidate MPC rollouts evaluated per second on one chip —
+each rollout is a K-sample MPPI candidate rolled H steps through the exact
+unicycle dynamics + clearance costs — while the full sensor pipeline
+(raster, egocentric views, laser) steps the world between solves.
+``vs_baseline`` is measured against the BASELINE.json north-star target of
+10k rollouts/s/chip (the reference publishes no numbers, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+N_ROBOTS = 200
+N_OBSTACLES = 200
+MPPI_SAMPLES = 128
+MPPI_HORIZON = 12
+WARMUP = 3
+ITERS = 20
+TARGET_ROLLOUTS_PER_SEC = 10_000.0
+
+
+def build():
+    from img_env_tpu.config import EnvConfig
+
+    return EnvConfig.from_dict({
+        "env_name": "bench200",
+        "control_hz": 0.4,
+        "robot": {
+            "total": N_ROBOTS,
+            "shape": ["circle"],
+            "size": [[0.0, 0.0, 0.17]],
+            "begin_poses_type": ["range"],
+            "begin_poses": [[0.5, 15.5, 0.5, 15.5]],
+            "target_poses_type": ["range"],
+            "target_poses": [[0.5, 15.5, 0.5, 15.5]],
+        },
+        "object": {
+            "total": N_OBSTACLES,
+            "shape": ["circle"],
+            "size_range": [[0.1, 0.2]],
+            "poses_type": ["range"],
+            "poses": [[0.5, 15.5, 0.5, 15.5]],
+        },
+        "ped_sim": {"total": 0, "type": ""},
+        "global_map": {"map_file": "room_16_empty.png", "resolution": 0.1},
+        "view_map": {"resolution": 0.015, "width": 6.0, "height": 6.0},
+        "range_total": 960,
+        "max_ped": 10,
+        "state_dim": 3,
+    })
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from img_env_tpu.env.nav_env import NavEnv
+    from img_env_tpu.mpc.controller import MpcController
+    from img_env_tpu.mpc.mppi import MppiConfig
+
+    cfg = build()
+    env = NavEnv(cfg)
+    ctl = MpcController(
+        env, MppiConfig(horizon=MPPI_HORIZON, samples=MPPI_SAMPLES))
+
+    key = jax.random.PRNGKey(0)
+    state, obs = env.reset(key)
+    mpc_state = ctl.init_state()
+
+    @jax.jit
+    def control_step(key, state, mpc_state):
+        k_plan, k_next = jax.random.split(key)
+        actions, mpc_state, costs = ctl.act_fn(k_plan, state, mpc_state)
+        state, obs, reward, done, info = env.step_fn(state, actions)
+        return k_next, state, mpc_state, costs
+
+    for _ in range(WARMUP):
+        key, state, mpc_state, costs = control_step(key, state, mpc_state)
+    jax.block_until_ready(costs)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        key, state, mpc_state, costs = control_step(key, state, mpc_state)
+    jax.block_until_ready(costs)
+    dt = time.perf_counter() - t0
+
+    solves = ITERS * N_ROBOTS
+    rollouts = solves * MPPI_SAMPLES
+    rps = rollouts / dt
+    print(json.dumps({
+        "metric": "mpc_rollouts_per_sec_per_chip_200robot_200obs",
+        "value": round(rps, 1),
+        "unit": "rollouts/s",
+        "vs_baseline": round(rps / TARGET_ROLLOUTS_PER_SEC, 3),
+    }))
+    print(
+        f"# detail: {ITERS} control steps, {N_ROBOTS} robots, "
+        f"K={MPPI_SAMPLES} H={MPPI_HORIZON}, {dt / ITERS * 1e3:.1f} ms/step, "
+        f"{solves / dt:.0f} solves/s, backend={jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

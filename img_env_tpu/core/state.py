@@ -48,6 +48,10 @@ class PedState(NamedTuple):
     sfm_wp_idx: jnp.ndarray    # [M] int32 index of current pedsim destination
     sfm_has_dest: jnp.ndarray  # [M] bool destination != NULL
     sfm_lastdest: jnp.ndarray  # [M] int32 lastdestination idx (-1 if none)
+    # --- dataset replay (ETH/UCY; img_env.cpp:361-386) ---
+    dataset_traj: jnp.ndarray  # [M,T,2] replayed positions ([M,1,2] when unused)
+    dataset_vel: jnp.ndarray   # [M,T,2] replayed velocities
+    dataset_len: jnp.ndarray   # [M] int32 valid length per ped
 
 
 class CrowdAuxState(NamedTuple):

@@ -220,7 +220,10 @@ class NavEnv:
     # ------------------------------------------------------------------
     # reset
     # ------------------------------------------------------------------
-    def reset_fn(self, key, carry: Optional[WorldState] = None):
+    def reset_fn(self, key, carry: Optional[WorldState] = None, dataset=None):
+        """dataset: optional (traj [M,T,2], vel [M,T,2], length [M]) replay
+        arrays for the ``dataset`` scene type (ETH/UCY; img_env.cpp:361-386);
+        ped initial pose/velocity then come from frame 0."""
         st = self.statics
         cfg = self.cfg
         n, m = cfg.robot.total, cfg.ped_sim.total
@@ -265,11 +268,27 @@ class NavEnv:
             )
         traj_len = jnp.where(sc.go_back, 2, 1).astype(jnp.int32) if m else jnp.zeros((0,), jnp.int32)
 
+        if dataset is not None:
+            ds_traj, ds_vel, ds_len = (
+                jnp.asarray(dataset[0]), jnp.asarray(dataset[1]),
+                jnp.asarray(dataset[2], jnp.int32),
+            )
+            ped_init = jnp.concatenate(
+                [ds_traj[:, 0], jnp.arctan2(ds_vel[:, 0, 1:2], ds_vel[:, 0, 0:1])],
+                axis=-1,
+            )
+            ped_vel0 = ds_vel[:, 0]
+        else:
+            ds_traj = jnp.zeros((m, 1, 2))
+            ds_vel = jnp.zeros((m, 1, 2))
+            ds_len = jnp.ones((m,), jnp.int32)
+            ped_vel0 = carry.peds.vel if carry is not None else jnp.zeros((m, 2))
+
         peds = PedState(
             pos=ped_init[:, :2],
             yaw=ped_init[:, 2],
             prev_pos=ped_init[:, :2],
-            vel=(carry.peds.vel if carry is not None else jnp.zeros((m, 2))),
+            vel=ped_vel0,
             traj=traj,
             traj_len=traj_len,
             traj_idx=jnp.zeros((m,), jnp.int32),
@@ -281,6 +300,9 @@ class NavEnv:
             sfm_wp_idx=jnp.zeros((m,), jnp.int32),
             sfm_has_dest=jnp.ones((m,), bool),
             sfm_lastdest=jnp.full((m,), -1, jnp.int32),
+            dataset_traj=ds_traj,
+            dataset_vel=ds_vel,
+            dataset_len=ds_len,
         )
 
         crowd_aux = CrowdAuxState(
@@ -453,8 +475,13 @@ class NavEnv:
                 sfm_lastdest=new_wp.head[:m],   # head stored in lastdest slot
             )
         elif self.scene_type == "dataset":
-            # handled via stored trajectories at higher fidelity later; freeze
-            new_pos, new_vel = peds.pos, peds.vel
+            # verbatim trajectory replay: the k-th step after reset replays
+            # index k (step_ increments only at the end of _step,
+            # img_env.cpp:361-386, 518)
+            new_pos, new_vel, _ = crowd_common.dataset_replay(
+                state.step, peds.dataset_traj, peds.dataset_vel,
+                peds.dataset_len,
+            )
             new_aux = aux
         else:
             new_pos, new_vel = peds.pos, peds.vel

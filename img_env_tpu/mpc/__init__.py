@@ -1,0 +1,20 @@
+"""Sampling and gradient MPC over the differentiable navigation dynamics."""
+
+from img_env_tpu.mpc.controller import MpcController, MpcState
+from img_env_tpu.mpc.cost import CostWeights, WorldCost
+from img_env_tpu.mpc.edt import edt2d, edt2d_device
+from img_env_tpu.mpc.mppi import MppiConfig, PlannerState, batched_mppi, cem_plan, mppi_plan
+
+__all__ = [
+    "MpcController",
+    "MpcState",
+    "CostWeights",
+    "WorldCost",
+    "edt2d",
+    "edt2d_device",
+    "MppiConfig",
+    "PlannerState",
+    "batched_mppi",
+    "cem_plan",
+    "mppi_plan",
+]

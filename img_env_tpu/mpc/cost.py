@@ -1,0 +1,104 @@
+"""Planning cost terms for the sampling/gradient MPC controllers.
+
+The cost mirrors what the reference's reward punishes (SensorsPaperReward,
+envs/wrapper/base.py:153-195) but as a smooth, differentiable field:
+
+  * goal progress        — distance-to-goal, terminal weighted
+  * static clearance     — EDT lookup of the static map + analytic distance
+                           to the episode's sampled obstacle AABBs
+  * pedestrian clearance — smooth hinge at ped_safety_space (0.7 m default)
+  * control effort/smoothness
+
+All terms are batched over [K rollouts, H horizon] and vmapped over robots.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CostWeights(NamedTuple):
+    goal: float = 4.0
+    terminal_goal: float = 20.0
+    collision: float = 400.0
+    clearance: float = 30.0         # hinge weight inside the safety band
+    safety_dist: float = 0.45       # robot_radius + margin (static band)
+    ped_safety: float = 0.7         # ped_safety_space (base.py:164)
+    ped_weight: float = 50.0        # matches the -50*(0.7-d) reward slope
+    effort_v: float = 0.1
+    effort_w: float = 0.05
+    smooth: float = 0.2
+
+
+class WorldCost(NamedTuple):
+    """Static per-episode data the cost closes over."""
+
+    edt: jnp.ndarray            # [H,W] meters to nearest static occupied
+    resolution: float
+    obs_aabb: jnp.ndarray       # [O,4] episode obstacle corners (world m)
+    obs_valid: jnp.ndarray      # [O]
+    robot_radius: float
+
+
+def static_distance(wc: WorldCost, xy: jnp.ndarray) -> jnp.ndarray:
+    """Distance (m) from points [...,2] to the nearest static/episode obstacle."""
+    cells = jnp.round(xy / wc.resolution).astype(jnp.int32)
+    h, w = wc.edt.shape
+    r = jnp.clip(cells[..., 1], 0, h - 1)
+    c = jnp.clip(cells[..., 0], 0, w - 1)
+    inb = ((cells[..., 0] >= 0) & (cells[..., 0] < w)
+           & (cells[..., 1] >= 0) & (cells[..., 1] < h))
+    d_map = jnp.where(inb, wc.edt[r, c], 0.0)
+
+    # analytic distance to each obstacle AABB
+    lo = jnp.minimum(wc.obs_aabb[:, 0:2], wc.obs_aabb[:, 2:4])  # [O,2]
+    hi = jnp.maximum(wc.obs_aabb[:, 0:2], wc.obs_aabb[:, 2:4])
+    p = xy[..., None, :]                                        # [...,1,2]
+    dx = jnp.maximum(jnp.maximum(lo - p, p - hi), 0.0)          # [...,O,2]
+    d_box = jnp.sqrt((dx ** 2).sum(-1) + 1e-12)
+    d_box = jnp.where(wc.obs_valid, d_box, jnp.inf)
+    d_box = jnp.min(d_box, axis=-1) if wc.obs_aabb.shape[0] else jnp.full(xy.shape[:-1], jnp.inf)
+    return jnp.minimum(d_map, d_box)
+
+
+def ped_clearance(xy, t_idx, ped_pos, ped_vel, ped_r, dt: float):
+    """Min distance to constant-velocity-predicted pedestrians.
+
+    xy: [...,2] at horizon step t_idx (int array broadcastable to xy[...,0]).
+    """
+    if ped_pos.shape[0] == 0:
+        return jnp.full(xy.shape[:-1], jnp.inf)
+    t = (t_idx.astype(jnp.float32) + 1.0) * dt
+    pred = ped_pos[None, ...] + ped_vel[None, ...] * t[..., None, None]  # [...,M,2]
+    d = jnp.linalg.norm(xy[..., None, :] - pred, axis=-1) - ped_r[None, :]
+    return jnp.min(d, axis=-1)
+
+
+def stage_cost(
+    wc: WorldCost, w8: CostWeights,
+    xy, goal, v, w, prev_v, prev_w, t_idx,
+    ped_pos, ped_vel, ped_r, dt: float,
+):
+    goal_d = jnp.linalg.norm(goal - xy, axis=-1)
+    sd = static_distance(wc, xy) - wc.robot_radius
+    coll = (sd <= 0.0).astype(jnp.float32)
+    hinge = jnp.maximum(w8.safety_dist - sd, 0.0)
+    pd = ped_clearance(xy, t_idx, ped_pos, ped_vel, ped_r, dt) - wc.robot_radius
+    ped_coll = (pd <= 0.0).astype(jnp.float32)
+    ped_hinge = jnp.maximum(w8.ped_safety - pd, 0.0)
+    return (
+        w8.goal * goal_d
+        + w8.collision * (coll + ped_coll)
+        + w8.clearance * hinge
+        + w8.ped_weight * ped_hinge
+        + w8.effort_v * v ** 2 + w8.effort_w * w ** 2
+        + w8.smooth * ((v - prev_v) ** 2 + (w - prev_w) ** 2)
+    )
+
+
+def terminal_cost(wc: WorldCost, w8: CostWeights, xy, goal):
+    return w8.terminal_goal * jnp.linalg.norm(goal - xy, axis=-1)

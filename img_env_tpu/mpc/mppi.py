@@ -1,0 +1,165 @@
+"""Sampling MPC: MPPI and CEM over the exact unicycle dynamics.
+
+The planner rolls K perturbed action sequences over an H-step horizon with
+the same closed-form arc kinematics and speed limiter the sim applies
+(dynamics/kinematics.py — agent.cpp:186-283 semantics), scores them with the
+smooth planning cost (mpc/cost.py), and returns the information-theoretic
+MPPI weighting (or the CEM elite refit).
+
+Shapes are TPU-friendly: everything is [K, H, ...] dense tensors rolled with
+``lax.scan`` over H and vmapped over robots; K is a multiple of 128 by
+default so reductions tile the VPU lanes cleanly.  Batch over scenes with
+vmap/shard_map outside (mpc solves/s is a headline benchmark, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from img_env_tpu.dynamics.kinematics import _exact_pose_update
+from img_env_tpu.dynamics.limiter import LimiterParams, limit_command
+from img_env_tpu.mpc.cost import CostWeights, WorldCost, stage_cost, terminal_cost
+
+
+class MppiConfig(NamedTuple):
+    horizon: int = 12
+    samples: int = 256
+    lam: float = 1.0                 # temperature
+    sigma_v: float = 0.15
+    sigma_w: float = 0.3
+    v_range: Tuple[float, float] = (0.0, 0.6)
+    w_range: Tuple[float, float] = (-0.9, 0.9)
+    elites: int = 32                 # CEM only
+    cem_iters: int = 3               # CEM only
+
+
+class PlannerState(NamedTuple):
+    nominal: jnp.ndarray   # [H,2] current nominal action plan (v,w)
+
+
+def init_planner(cfg: MppiConfig) -> PlannerState:
+    return PlannerState(nominal=jnp.zeros((cfg.horizon, 2)))
+
+
+def _rollout_costs(
+    actions,                 # [K,H,2]
+    pose, vw0, vw1, goal,
+    wc: WorldCost, w8: CostWeights,
+    limiter_v: LimiterParams, limiter_w: LimiterParams,
+    ped_pos, ped_vel, ped_r,
+    dt: float, omni: bool,
+):
+    k = actions.shape[0]
+    pose0 = jnp.broadcast_to(pose, (k, 3))
+    vw0 = jnp.broadcast_to(vw0, (k, 2))
+    vw1 = jnp.broadcast_to(vw1, (k, 2))
+
+    def body(carry, xs):
+        pose, vw0, vw1, acc, t = carry
+        act = xs                                        # [K,2]
+        v = limit_command(limiter_v, act[:, 0], vw0[:, 0], vw1[:, 0], dt)
+        w = limit_command(limiter_w, act[:, 1], vw0[:, 1], vw1[:, 1], dt)
+        new_pose = jax.vmap(
+            lambda p, vi, wi: _exact_pose_update(p, vi, wi, 0.0, dt, omni)
+        )(pose, v, w)
+        c = stage_cost(
+            wc, w8, new_pose[:, :2], goal, v, w, vw0[:, 0], vw0[:, 1],
+            jnp.full((k,), t), ped_pos, ped_vel, ped_r, dt,
+        )
+        new_vw0 = jnp.stack([v, w], -1)
+        return (new_pose, new_vw0, vw0, acc + c, t + 1), None
+
+    init = (pose0, vw0, vw1, jnp.zeros((k,)), jnp.asarray(0, jnp.int32))
+    (posef, _, _, acc, _), _ = jax.lax.scan(
+        body, init, jnp.swapaxes(actions, 0, 1)
+    )
+    return acc + terminal_cost(wc, w8, posef[:, :2], goal)
+
+
+def mppi_plan(
+    key, ps: PlannerState,
+    pose, vw0, vw1, goal,
+    wc: WorldCost,
+    limiter_v: LimiterParams, limiter_w: LimiterParams,
+    ped_pos, ped_vel, ped_r,
+    cfg: MppiConfig, w8: CostWeights = CostWeights(),
+    dt: float = 0.4, omni: bool = False,
+):
+    """One MPPI solve for a single robot. Returns (action [2], new state)."""
+    h, kk = cfg.horizon, cfg.samples
+    sigma = jnp.asarray([cfg.sigma_v, cfg.sigma_w])
+    noise = jax.random.normal(key, (kk, h, 2)) * sigma
+    cand = ps.nominal[None] + noise
+    lo = jnp.asarray([cfg.v_range[0], cfg.w_range[0]])
+    hi = jnp.asarray([cfg.v_range[1], cfg.w_range[1]])
+    cand = jnp.clip(cand, lo, hi)
+
+    costs = _rollout_costs(
+        cand, pose, vw0, vw1, goal, wc, w8,
+        limiter_v, limiter_w, ped_pos, ped_vel, ped_r, dt, omni,
+    )
+    beta = jnp.min(costs)
+    wts = jax.nn.softmax(-(costs - beta) / cfg.lam)
+    plan = jnp.einsum("k,khd->hd", wts, cand)
+    action = plan[0]
+    # receding horizon: shift, repeat last
+    nominal = jnp.concatenate([plan[1:], plan[-1:]], axis=0)
+    return action, PlannerState(nominal=nominal), jnp.sum(wts * costs)
+
+
+def cem_plan(
+    key, ps: PlannerState,
+    pose, vw0, vw1, goal,
+    wc: WorldCost,
+    limiter_v: LimiterParams, limiter_w: LimiterParams,
+    ped_pos, ped_vel, ped_r,
+    cfg: MppiConfig, w8: CostWeights = CostWeights(),
+    dt: float = 0.4, omni: bool = False,
+):
+    """Cross-entropy method with ``cem_iters`` refits of a diagonal Gaussian."""
+    lo = jnp.asarray([cfg.v_range[0], cfg.w_range[0]])
+    hi = jnp.asarray([cfg.v_range[1], cfg.w_range[1]])
+
+    def one_iter(carry, key):
+        mean, std = carry
+        cand = mean[None] + jax.random.normal(key, (cfg.samples, cfg.horizon, 2)) * std[None]
+        cand = jnp.clip(cand, lo, hi)
+        costs = _rollout_costs(
+            cand, pose, vw0, vw1, goal, wc, w8,
+            limiter_v, limiter_w, ped_pos, ped_vel, ped_r, dt, omni,
+        )
+        _, idx = jax.lax.top_k(-costs, cfg.elites)
+        elite = cand[idx]                       # [E,H,2]
+        new_mean = elite.mean(0)
+        new_std = elite.std(0) + 1e-4
+        return (new_mean, new_std), costs[idx].mean()
+
+    sigma0 = jnp.broadcast_to(
+        jnp.asarray([cfg.sigma_v, cfg.sigma_w]), (cfg.horizon, 2))
+    keys = jax.random.split(key, cfg.cem_iters)
+    (mean, _), costs = jax.lax.scan(one_iter, (ps.nominal, sigma0), keys)
+    action = mean[0]
+    nominal = jnp.concatenate([mean[1:], mean[-1:]], axis=0)
+    return action, PlannerState(nominal=nominal), costs[-1]
+
+
+def batched_mppi(
+    keys, ps_nominal, poses, vw0, vw1, goals,
+    wc: WorldCost, limiter_v, limiter_w,
+    ped_pos, ped_vel, ped_r, cfg: MppiConfig,
+    w8: CostWeights = CostWeights(), dt: float = 0.4, omni: bool = False,
+):
+    """vmap MPPI over N robots sharing one world. Returns ([N,2], [N,H,2], [N])."""
+
+    def one(key, nom, pose, a0, a1, goal):
+        act, st, c = mppi_plan(
+            key, PlannerState(nom), pose, a0, a1, goal, wc,
+            limiter_v, limiter_w, ped_pos, ped_vel, ped_r, cfg, w8, dt, omni,
+        )
+        return act, st.nominal, c
+
+    return jax.vmap(one)(keys, ps_nominal, poses, vw0, vw1, goals)

@@ -345,7 +345,10 @@ def render_robot_view(
             source_occ, 0, jnp.where(gates, CELL_VIEW_FREE, CELL_UNSEEN)
         ).astype(jnp.uint8)
 
-    # Stamp own footprint (value 100, agent.cpp:503) — overwrites anything.
+    # Stamp own footprint (value 100, agent.cpp:503).  Agent::draw only
+    # writes when the cell is not occupied (0/1/2 branch precedes the
+    # ``value >= 0`` write, agent.cpp:315-322) — view cells are 0/200/255
+    # here, so occupied (0) pixels keep their value.
     m = jnp.clip(own_view_cells[:, 0], 0, p.hpx - 1)
     n = jnp.clip(own_view_cells[:, 1], 0, p.wpx - 1)
     ob = (
@@ -353,8 +356,9 @@ def render_robot_view(
         & (own_view_cells[:, 0] >= 0) & (own_view_cells[:, 0] < p.hpx)
         & (own_view_cells[:, 1] >= 0) & (own_view_cells[:, 1] < p.wpx)
     )
+    cur = val[m, n]
     val = val.at[m, n].set(
-        jnp.where(ob, jnp.uint8(CELL_SELF_IN_VIEW), val[m, n])
+        jnp.where(ob & (cur != 0), jnp.uint8(CELL_SELF_IN_VIEW), cur)
     )
     return val, hits, angular
 

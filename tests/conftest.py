@@ -7,7 +7,9 @@ the double-precision NumPy oracle are exact.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the shell pre-sets JAX_PLATFORMS (e.g. the axon TPU
+# tunnel): parity tests need x64 linalg and the virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon environment force-registers itself via jax config ("axon,cpu"),
+# ignoring the env var — override at the config level before backend init.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: repeat test runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_img_env_tpu")

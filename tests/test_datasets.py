@@ -1,0 +1,104 @@
+"""ETH/UCY replay: loader semantics + env dataset scene replays verbatim."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from img_env_tpu.datasets.pedestrians import (
+    PedDatasetConfig,
+    build_world,
+    build_world_arrays,
+    load_trajectory_csv,
+)
+
+
+def make_csv(tmp_path):
+    """Two peds walking straight lines, 2.5 fps data at fps=15 (6-frame gaps)."""
+    rows = []
+    for k in range(8):
+        f = k * 6
+        rows.append((f, 1, 0.1 * k, 1.0 + 0.5 * k))      # ped 1: (y, x)
+    for k in range(6):
+        f = 12 + k * 6
+        rows.append((f, 2, 2.0, 3.0 - 0.3 * k))          # ped 2 appears later
+    arr = np.asarray(rows, float)
+    p = tmp_path / "world.csv"
+    # reference layout: 4 rows (frame, ped, y, x)
+    np.savetxt(p, arr.T, delimiter=",")
+    return str(p)
+
+
+def test_loader_shapes_and_alignment(tmp_path):
+    path = make_csv(tmp_path)
+    table = load_trajectory_csv(path)
+    assert table.shape[1] == 4
+    cfg = PedDatasetConfig(fps=15, control_hz=0.4, swapxy=True,
+                           offset=(0.0, 0.0, 0.0))
+    series = build_world(table, 0, 2, cfg)
+    assert len(series) == 2
+    t0, t1 = series[0], series[1]
+    assert t0.shape == t1.shape  # padded to common length
+    assert t0.shape[1] == 5
+    # ped 1 with swapxy: world x = y_col, world y = x_col
+    np.testing.assert_allclose(t0[0, 0], 0.0, atol=1e-9)
+    np.testing.assert_allclose(t0[0, 1], 1.0, atol=1e-9)
+    # ped 2 front-padded: first two subsampled entries hold its spawn pose
+    np.testing.assert_allclose(t1[0, :2], t1[1, :2], atol=1e-9)
+    # velocities are zero for the first two raw samples
+    np.testing.assert_allclose(t0[0, 3:5], 0.0, atol=1e-12)
+
+
+def test_build_world_arrays_padding(tmp_path):
+    table = load_trajectory_csv(make_csv(tmp_path))
+    cfg = PedDatasetConfig(fps=15, control_hz=0.4, offset=(0, 0, 0))
+    traj, vel, length = build_world_arrays(table, 0, 2, cfg, pad_peds=4, pad_time=10)
+    assert traj.shape == (4, 10, 2)
+    assert vel.shape == (4, 10, 2)
+    assert length.shape == (4,)
+    assert length[2] == 1  # padded slots
+
+
+def test_env_dataset_scene_replays_verbatim(tmp_path):
+    from img_env_tpu.config import EnvConfig
+    from img_env_tpu.env.nav_env import NavEnv
+
+    m, t = 2, 12
+    traj = np.zeros((m, t, 2), np.float32)
+    vel = np.zeros((m, t, 2), np.float32)
+    for i in range(m):
+        traj[i, :, 0] = 2.0 + i + 0.3 * np.arange(t)
+        traj[i, :, 1] = 3.0 + 0.5 * i
+        vel[i, :, 0] = 0.3 / 0.4
+    length = np.full((m,), t, np.int32)
+
+    cfg = EnvConfig.from_dict({
+        "robot": {
+            "total": 1,
+            "begin_poses_type": ["range"], "begin_poses": [[1.0, 9.0, 1.0, 9.0]],
+            "target_poses_type": ["range"], "target_poses": [[1.0, 9.0, 1.0, 9.0]],
+        },
+        "ped_sim": {
+            "total": m, "type": "dataset", "max_speed": [1.0],
+            "shape": ["circle"], "size": [[0.0, 0.0, 0.17]],
+            "begin_poses_type": ["range"], "begin_poses": [[1.0, 9.0, 1.0, 9.0]],
+            "target_poses_type": ["range"], "target_poses": [[1.0, 9.0, 1.0, 9.0]],
+        },
+        "global_map": {"map_file": "room_10.png", "resolution": 0.1},
+        "view_map": {"resolution": 0.05, "width": 6.0, "height": 6.0},
+        "range_total": 32,
+        "max_ped": m,
+    })
+    env = NavEnv(cfg, jit=False)
+    state, obs = env.reset_fn(jax.random.PRNGKey(0), dataset=(traj, vel, length))
+    np.testing.assert_allclose(np.asarray(state.peds.pos), traj[:, 0], atol=1e-6)
+    actions = jnp.zeros((1, 3))
+    for k in range(3):
+        state, obs, *_ = env.step_fn(state, actions)
+        np.testing.assert_allclose(
+            np.asarray(state.peds.pos), traj[:, k], atol=1e-5)
+    # clamps at the trajectory end
+    for k in range(3, t + 4):
+        state, obs, *_ = env.step_fn(state, actions)
+    np.testing.assert_allclose(
+        np.asarray(state.peds.pos), traj[:, t - 1], atol=1e-5)
