@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--robots", type=int, default=4)
     ap.add_argument("--samples", type=int, default=128)
     ap.add_argument("--horizon", type=int, default=10)
+    ap.add_argument("--method", default="mppi", choices=["mppi", "ilqr"])
     ap.add_argument("--render", default=None)
     args = ap.parse_args()
 
@@ -54,7 +55,7 @@ def main():
 
     env = NavEnv(cfg)
     ctl = MpcController(env, MppiConfig(
-        horizon=args.horizon, samples=args.samples))
+        horizon=args.horizon, samples=args.samples), method=args.method)
 
     key = jax.random.PRNGKey(0)
     state, obs = env.reset(key)

@@ -21,12 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 class RandomPolicy4Nav:
-    def __init__(self, n: int, v_range=(0.0, 0.6), w_range=(-0.9, 0.9), seed=0):
+    def __init__(self, n: int, v_range=(0.0, 0.6), w_range=(-0.9, 0.9),
+                 seed=0, n_discrete: int = 0):
         self.n = n
         self.v_range, self.w_range = v_range, w_range
         self.rng = np.random.default_rng(seed)
+        self.n_discrete = n_discrete
 
     def gen_action(self):
+        if self.n_discrete:
+            return self.rng.integers(0, self.n_discrete, self.n)
         v = self.rng.uniform(*self.v_range, self.n)
         w = self.rng.uniform(*self.w_range, self.n)
         return np.stack([v, w], axis=-1)
@@ -48,7 +52,9 @@ def main():
     else:
         env = make_env(EnvConfig())
 
-    policy = RandomPolicy4Nav(env.robot_total)
+    policy = RandomPolicy4Nav(
+        env.robot_total,
+        n_discrete=len(env.cfg.discrete_actions) if env.cfg.discrete_action else 0)
     obs = env.reset()
     t0 = time.perf_counter()
     steps, episodes = 0, 0

@@ -30,7 +30,7 @@ from img_env_tpu.utils.metrics import EpisodeMetrics
 class ImgNavEnv:
     """Stateful single-scene environment with the reference's step contract."""
 
-    def __init__(self, cfg: EnvConfig, seed: int = 0):
+    def __init__(self, cfg: EnvConfig, seed: int = 0, record: bool = False):
         self.cfg = cfg
         self.core = NavEnv(cfg)
         self.stack = WrapperStack(cfg)
@@ -41,6 +41,15 @@ class ImgNavEnv:
         self.ped_total = cfg.ped_sim.total
         self.metrics = EpisodeMetrics(cfg)
         self._obs_filter = self._pick_filter(cfg)
+        # TimeControlWrapper (base.py:301-311): wall-clock pacing, eval only
+        self._pace = "TimeControlWrapper" in set(cfg.wrapper or ())
+        self._last_step_t = None
+        # BagRecordWrapper analogue: host-side episode recording
+        self.recorder = None
+        if record or "BagRecordWrapper" in set(cfg.wrapper or ()):
+            from img_env_tpu.eval.recorder import EpisodeRecorder
+
+            self.recorder = EpisodeRecorder(dt=float(cfg.control_hz))
 
     @staticmethod
     def _pick_filter(cfg: EnvConfig):
@@ -72,10 +81,15 @@ class ImgNavEnv:
 
     def reset(self, **kwargs):
         carry = self._state if kwargs.get("carry", True) and self._state is not None else None
-        self._state, obs = self.core.reset(self._next_key(), carry)
+        key = kwargs.get("key", None)
+        if key is None:
+            key = self._next_key()
+        self._state, obs = self.core.reset(key, carry)
         if self._ws is None:
             self._ws = self.stack.init_state()
         self._ws, sobs = self.stack.on_reset(self._ws, obs)
+        if self.recorder is not None:
+            self.recorder.start_episode()
         return self._filtered(sobs)
 
     def step(self, actions):
@@ -98,9 +112,24 @@ class ImgNavEnv:
         )
         np_info = {k: np.asarray(v) for k, v in info.items()}
         self.metrics.add_step(np_info)
+        if self.recorder is not None:
+            self.recorder.add_step(self._state, reward=np.asarray(reward),
+                                   speeds=np.asarray(speeds))
+        if self._pace:
+            # TimeControlWrapper: enforce >= control_hz wall-clock per step
+            import time as _time
+
+            now = _time.perf_counter()
+            if self._last_step_t is not None:
+                remain = float(self.cfg.control_hz) - (now - self._last_step_t)
+                if remain > 0:
+                    _time.sleep(remain)
+            self._last_step_t = _time.perf_counter()
 
         if self.stack.use_never_stop and bool(np.asarray(info["all_down"])):
             self.metrics.end_episode(np_info["dones_info"])
+            if self.recorder is not None:
+                self.recorder.end_episode(np_info["dones_info"])
             obs_out = self.reset()
         else:
             obs_out = self._filtered(sobs)

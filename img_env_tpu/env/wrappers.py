@@ -64,6 +64,12 @@ def vel_action_map(cfg: EnvConfig, raw_actions) -> Tuple[jnp.ndarray, jnp.ndarra
     Returns ([N,3] (v,w,beep) commands, [N,2] speeds for info).
     """
     if cfg.discrete_action:
+        raw_actions = jnp.asarray(raw_actions)
+        if raw_actions.ndim != 1:
+            raise ValueError(
+                f"discrete_action config expects [N] action indices, got "
+                f"shape {raw_actions.shape} — pass indices into "
+                f"cfg.discrete_actions, not (v, w) pairs")
         table = np.zeros((len(cfg.discrete_actions), 3), np.float32)
         for i, a in enumerate(cfg.discrete_actions):
             table[i, : len(a)] = a

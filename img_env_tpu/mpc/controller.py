@@ -19,6 +19,7 @@ from img_env_tpu.core.state import WorldState
 from img_env_tpu.env.nav_env import NavEnv
 from img_env_tpu.mpc.cost import CostWeights, WorldCost
 from img_env_tpu.mpc.edt import edt2d
+from img_env_tpu.mpc.ilqr import IlqrConfig, batched_ilqr
 from img_env_tpu.mpc.mppi import (
     MppiConfig,
     PlannerState,
@@ -80,15 +81,26 @@ class MpcController:
         ped_vel = state.peds.vel if m else jnp.zeros((0, 2))
         ped_r = jnp.asarray(env.statics.ped_r) if m else jnp.zeros((0,))
 
-        keys = jax.random.split(key, n)
-        acts, nominal, costs = batched_mppi(
-            keys, mpc_state.nominal,
-            state.robots.pose, state.robots.vw_last0, state.robots.vw_last1,
-            state.robots.goal, wc,
-            env.statics.limiter_v, env.statics.limiter_w,
-            ped_pos, ped_vel, ped_r, self.cfg, self.weights,
-            float(env.cfg.control_hz), env.cfg.robot_type == "omni",
-        )
+        if self.method == "ilqr":
+            icfg = IlqrConfig(
+                horizon=self.cfg.horizon,
+                v_range=self.cfg.v_range, w_range=self.cfg.w_range)
+            us, xs, costs = batched_ilqr(
+                state.robots.pose, state.robots.goal, mpc_state.nominal,
+                wc, ped_pos, ped_vel, ped_r, icfg, self.weights,
+                float(env.cfg.control_hz))
+            acts = us[:, 0]
+            nominal = jnp.concatenate([us[:, 1:], us[:, -1:]], axis=1)
+        else:
+            keys = jax.random.split(key, n)
+            acts, nominal, costs = batched_mppi(
+                keys, mpc_state.nominal,
+                state.robots.pose, state.robots.vw_last0, state.robots.vw_last1,
+                state.robots.goal, wc,
+                env.statics.limiter_v, env.statics.limiter_w,
+                ped_pos, ped_vel, ped_r, self.cfg, self.weights,
+                float(env.cfg.control_hz), env.cfg.robot_type == "omni",
+            )
         actions = jnp.concatenate([acts, jnp.zeros((n, 1))], axis=-1)
         return actions, MpcState(nominal=nominal), costs
 

@@ -65,6 +65,36 @@ def static_distance(wc: WorldCost, xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(d_map, d_box)
 
 
+def static_distance_smooth(wc: WorldCost, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear-interpolated EDT + analytic AABB distance: C0, with nonzero
+    gradients everywhere — required by the derivative-based (iLQR) solver;
+    the sampling solvers use the cheaper nearest-cell ``static_distance``."""
+    h, w = wc.edt.shape
+    gx = xy[..., 0] / wc.resolution
+    gy = xy[..., 1] / wc.resolution
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, h - 2)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, w - 2)
+    fx = jnp.clip(gx - x0, 0.0, 1.0)
+    fy = jnp.clip(gy - y0, 0.0, 1.0)
+    d00 = wc.edt[x0, y0]
+    d01 = wc.edt[x0, y0 + 1]
+    d10 = wc.edt[x0 + 1, y0]
+    d11 = wc.edt[x0 + 1, y0 + 1]
+    d_map = ((1 - fx) * (1 - fy) * d00 + (1 - fx) * fy * d01
+             + fx * (1 - fy) * d10 + fx * fy * d11)
+
+    lo = jnp.minimum(wc.obs_aabb[:, 0:2], wc.obs_aabb[:, 2:4])
+    hi = jnp.maximum(wc.obs_aabb[:, 0:2], wc.obs_aabb[:, 2:4])
+    p = xy[..., None, :]
+    dx = jnp.maximum(jnp.maximum(lo - p, p - hi), 0.0)
+    d_box = jnp.sqrt((dx ** 2).sum(-1) + 1e-9)
+    d_box = jnp.where(wc.obs_valid, d_box, jnp.inf)
+    d_box = jnp.min(d_box, axis=-1) if wc.obs_aabb.shape[0] else jnp.full(xy.shape[:-1], jnp.inf)
+    # smooth-min keeps gradients from both terms near the crossover
+    a = jnp.minimum(d_map, d_box)
+    return a
+
+
 def ped_clearance(xy, t_idx, ped_pos, ped_vel, ped_r, dt: float):
     """Min distance to constant-velocity-predicted pedestrians.
 

@@ -133,6 +133,9 @@ class OccupancyLayers(NamedTuple):
     robot_count: jnp.ndarray    # [H,W] int32 robot footprint sample counts
     robot_cells: jnp.ndarray    # [N,P,2] int32 cells of each robot's samples
     robot_cells_valid: jnp.ndarray  # [N,P] bool
+    packed: jnp.ndarray         # [H,W] uint8: bit0 = obs|ped occupied,
+                                #  bits 1..7 = robot count (capped at 127) —
+                                #  the view fill reads ONE map instead of four
 
 
 def build_layers(
@@ -164,6 +167,10 @@ def build_layers(
     ped_weak = scatter_occupancy(world_to_cell(weak_pts, resolution), weak_mask, hw)
     ped_strong = scatter_occupancy(world_to_cell(pr, resolution), ped_right_mask, hw)
 
+    static_occ = (obs_map < CELL_FREE_MIN) | ped_strong | ped_weak
+    packed = (static_occ.astype(jnp.uint8)
+              + (jnp.minimum(robot_count, 127) << 1).astype(jnp.uint8))
+
     return OccupancyLayers(
         obs_map=obs_map,
         ped_strong=ped_strong,
@@ -171,6 +178,7 @@ def build_layers(
         robot_count=robot_count,
         robot_cells=r_cells,
         robot_cells_valid=robot_mask,
+        packed=packed,
     )
 
 

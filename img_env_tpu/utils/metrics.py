@@ -86,8 +86,8 @@ class EpisodeMetrics:
             "other_coll_rate": self.robot_coll / e,
             "stuck_rate": self.stuck / e,
             "avg_arrive_steps": self.arrive_steps / max(1, self.arrive),
-            "avg_v": self.v_sum / max(1, self.speed_steps),
-            "avg_w": self.w_sum / max(1, self.speed_steps),
+            "avg_v": self.v_sum / max(1, self.speed_steps + self.tmp_steps),
+            "avg_w": self.w_sum / max(1, self.speed_steps + self.tmp_steps),
             "avg_w_variance": float(np.sum(self.w_variance)) / e,
             "avg_v_jerk": float(np.sum(self.v_jerk)) / e,
             "avg_w_jerk": float(np.sum(self.w_jerk)) / e,

@@ -82,10 +82,13 @@ def test_train_step_runs_sharded():
             ts, states, obs, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert int(ts2.step) == 1
-    # params actually changed
-    l0 = jax.tree_util.tree_leaves(ts.params)[0]
-    l1 = jax.tree_util.tree_leaves(ts2.params)[0]
-    assert not np.allclose(np.asarray(l0), np.asarray(l1))
+    # params actually changed somewhere (masked branches may have zero grads)
+    delta = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+        for a, b in zip(jax.tree_util.tree_leaves(ts.params),
+                        jax.tree_util.tree_leaves(ts2.params))
+    )
+    assert delta > 0.0
 
 
 def test_graft_entry_compiles():
