@@ -47,11 +47,37 @@ def main():
     state, obs = env.reset(key)
     mstate = ctl.init_state()
     actions = jnp.tile(jnp.asarray([[0.3, 0.1, 0.0]]), (cfg.robot.total, 1))
+    tables = env.sensor_tables
 
     print(f"config: {cfg.robot.total} robots, {cfg.object.total} obstacles, "
           f"{cfg.range_total} beams, view {cfg.view_pixels}")
 
-    timeit(jax.jit(env.step_fn), state, actions, name="full env step")
+    timeit(jax.jit(env.step_fn), state, actions, tables, name="full env step")
+
+    # --- polar stages ----------------------------------------------------
+    from img_env_tpu.ops import polar as polar_mod
+
+    ps = env.statics.polar
+
+    @jax.jit
+    def stage_polar_fill(state, layers, tables):
+        own_maps, own_orig = raster.own_local_maps(
+            layers.robot_cells, layers.robot_cells_valid)
+        return polar_mod.fill_sorted(
+            ps, layers.packed, env.statics.resolution, state.robots.pose,
+            own_maps, own_orig, t=tables)
+
+    @jax.jit
+    def stage_polar_ray(occ, tables):
+        return polar_mod.raycast_batched(ps, occ, t=tables)
+
+    @jax.jit
+    def stage_polar_shadow(occ, hits, tables):
+        return polar_mod.shadow_values_sorted(ps, occ, hits, t=tables)
+
+    @jax.jit
+    def stage_polar_resize(vals, tables):
+        return polar_mod.sensor_maps_from_sorted(ps, vals, (48, 48), t=tables)
     timeit(jax.jit(ctl.act_fn), key, state, mstate, name="MPPI solve (K=128,H=12) x200")
 
     st = env.statics
@@ -71,6 +97,17 @@ def main():
     layers = stage_layers(state)
     jax.block_until_ready(layers)
     timeit(stage_layers, state, name="  raster layers (scatter)")
+
+    occ = stage_polar_fill(state, layers, tables)
+    jax.block_until_ready(occ)
+    timeit(stage_polar_fill, state, layers, tables, name="  polar fill (1 gather/robot)")
+    hits, _ = stage_polar_ray(occ, tables)
+    jax.block_until_ready(hits)
+    timeit(stage_polar_ray, occ, tables, name="  polar raycast (matmuls)")
+    vals = stage_polar_shadow(occ, hits, tables)
+    jax.block_until_ready(vals)
+    timeit(stage_polar_shadow, occ, hits, tables, name="  polar shadow (one-hot matmul)")
+    timeit(stage_polar_resize, vals, tables, name="  polar sparse resize")
 
     @jax.jit
     def stage_views(state, layers):

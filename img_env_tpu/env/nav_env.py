@@ -45,6 +45,7 @@ from img_env_tpu.dynamics.limiter import LimiterParams
 from img_env_tpu.env import maps as maps_mod
 from img_env_tpu.env import observe, rewards
 from img_env_tpu.env.sampler import SamplerSpec, obstacle_corners, sample_scenario
+from img_env_tpu.ops import polar as polar_mod
 from img_env_tpu.ops import raster
 from img_env_tpu.ops.footprint import circle_points, rectangle_points
 from img_env_tpu.ops.resize import sensor_map_from_view
@@ -91,8 +92,11 @@ class EnvStatics(NamedTuple):
     obs_is_circle: np.ndarray      # [O]
     view_params: ViewParams
     view_statics: ViewStatics
+    polar: polar_mod.PolarStatics  # matmul sensor pipeline (default path)
     own_view_cells: np.ndarray     # [N,P,2]
     own_view_valid: np.ndarray     # [N,P]
+    own_slots: np.ndarray          # [N,P] sorted-slot footprint stamps
+    own_slots_ok: np.ndarray       # [N,P]
     sampler: SamplerSpec
     limiter_v: LimiterParams
     limiter_w: LimiterParams
@@ -180,11 +184,16 @@ def build_statics(cfg: EnvConfig) -> EnvStatics:
     vp = ViewParams.from_config(cfg)
     sensor0 = tuple(cfg.robot.sensor_cfgs[0]) if n else (0.0, 0.0)
     vs = ViewStatics.build(vp, sensor0)
+    ps = polar_mod.PolarStatics.build(
+        vp, sensor0, image_size=tuple(cfg.image_size))
     ovc = np.zeros((n,) + robot_points.shape[1:], np.int32)
     ovm = np.zeros(robot_mask.shape, bool)
+    oslots = np.full((n,) + robot_mask.shape[1:], ps.n_slots - 1, np.int32)
+    ook = np.zeros(robot_mask.shape, bool)
     for i in range(n):
         c_i, m_i = own_view_cells(robot_points[i], robot_mask[i], vp)
         ovc[i], ovm[i] = c_i, m_i
+        oslots[i], ook[i] = polar_mod.own_slots_from_cells(ps, c_i, m_i)
 
     return EnvStatics(
         static_map=static_map, resolution=res,
@@ -195,8 +204,9 @@ def build_statics(cfg: EnvConfig) -> EnvStatics:
         ped_rest_left=rest_l, ped_rest_right=rest_r,
         ped_is_leg=is_leg, ped_r=ped_r, ped_max_speed=ped_ms,
         obs_points=op, obs_point_dist=od, obs_base_mask=om, obs_is_circle=obs_circ,
-        view_params=vp, view_statics=vs,
+        view_params=vp, view_statics=vs, polar=ps,
         own_view_cells=ovc, own_view_valid=ovm,
+        own_slots=oslots, own_slots_ok=ook,
         sampler=SamplerSpec.from_config(cfg),
         limiter_v=LimiterParams.from_config(cfg.speed_limiter_v),
         limiter_w=LimiterParams.from_config(cfg.speed_limiter_w),
@@ -214,16 +224,25 @@ class NavEnv:
         self.cfg = cfg
         self.statics = build_statics(cfg)
         self.scene_type = cfg.ped_sim.type if cfg.ped_sim.total > 0 else "none"
+        # Device tables are jit ARGUMENTS: the polar incidence matrices are
+        # hundreds of MB and must not be baked into the HLO as constants.
+        self.sensor_tables = (
+            polar_mod.make_tables(self.statics.polar)
+            if cfg.sensor_mode != "reference" else None
+        )
         self._reset = jax.jit(self.reset_fn) if jit else self.reset_fn
         self._step = jax.jit(self.step_fn) if jit else self.step_fn
 
     # ------------------------------------------------------------------
     # reset
     # ------------------------------------------------------------------
-    def reset_fn(self, key, carry: Optional[WorldState] = None, dataset=None):
+    def reset_fn(self, key, carry: Optional[WorldState] = None, dataset=None,
+                 sensor_tables=None):
         """dataset: optional (traj [M,T,2], vel [M,T,2], length [M]) replay
         arrays for the ``dataset`` scene type (ETH/UCY; img_env.cpp:361-386);
-        ped initial pose/velocity then come from frame 0."""
+        ped initial pose/velocity then come from frame 0.
+        sensor_tables: device tables (polar.make_tables) — pass through jit
+        so the big static matrices stay runtime arguments."""
         st = self.statics
         cfg = self.cfg
         n, m = cfg.robot.total, cfg.ped_sim.total
@@ -325,13 +344,13 @@ class NavEnv:
             prev_goal_dist=jnp.zeros((n,)),
             has_prev_dist=jnp.asarray(False),
         )
-        state, obs = self._observe(state)
+        state, obs = self._observe(state, sensor_tables)
         return state, obs
 
     # ------------------------------------------------------------------
     # step
     # ------------------------------------------------------------------
-    def step_fn(self, state: WorldState, actions):
+    def step_fn(self, state: WorldState, actions, sensor_tables=None):
         """actions: [N,3] (v, w, v_y/beep)."""
         st = self.statics
         cfg = self.cfg
@@ -375,7 +394,7 @@ class NavEnv:
             prev_goal_dist=state.prev_goal_dist,
             has_prev_dist=state.has_prev_dist,
         )
-        new_state, obs = self._observe(new_state)
+        new_state, obs = self._observe(new_state, sensor_tables)
 
         reward = rewards.base_reward(obs.is_collisions, obs.is_arrives)
         done = rewards.compute_dones(obs.is_collisions, obs.is_arrives)
@@ -514,7 +533,7 @@ class NavEnv:
         return state.peds.sfm_lastdest  # head travels in the lastdest slot
 
     # ------------------------------------------------------------------
-    def _observe(self, state: WorldState) -> Tuple[WorldState, Observation]:
+    def _observe(self, state: WorldState, sensor_tables=None) -> Tuple[WorldState, Observation]:
         st = self.statics
         cfg = self.cfg
         n, m = cfg.robot.total, cfg.ped_sim.total
@@ -543,18 +562,41 @@ class NavEnv:
         own_maps, own_orig = raster.own_local_maps(
             layers.robot_cells, layers.robot_cells_valid
         )
-        vp, vs = st.view_params, st.view_statics
-        render = jax.vmap(
-            lambda pose, om, oo, vc, vm: render_robot_view(
-                layers, st.resolution, pose, om, oo, vc, vm, vs, vp
+        vp = st.view_params
+        if cfg.sensor_mode == "reference":
+            # per-robot gather path (kept for cross-checking; slower)
+            vs = st.view_statics
+            render = jax.vmap(
+                lambda pose, om, oo, vc, vm: render_robot_view(
+                    layers, st.resolution, pose, om, oo, vc, vm, vs, vp
+                )
             )
-        )
-        views, hits, angular = render(
-            state.robots.pose, own_maps, own_orig,
-            jnp.asarray(st.own_view_cells), jnp.asarray(st.own_view_valid),
-        )
-
-        sensor_maps = sensor_map_from_view(views, tuple(cfg.image_size))
+            views, hits, angular = render(
+                state.robots.pose, own_maps, own_orig,
+                jnp.asarray(st.own_view_cells), jnp.asarray(st.own_view_valid),
+            )
+            sensor_maps = sensor_map_from_view(views, tuple(cfg.image_size))
+        else:
+            # matmul pipeline (ops/polar.py): one gather + MXU raycast/shadow
+            ps = st.polar
+            t = sensor_tables  # device tables as jit args (never baked)
+            occ = polar_mod.fill_sorted(
+                ps, layers.packed, st.resolution, state.robots.pose,
+                own_maps, own_orig, t=t,
+            )
+            if vp.use_laser:
+                hits, angular = polar_mod.raycast_batched(ps, occ, t=t)
+                vals = polar_mod.shadow_values_sorted(ps, occ, hits, t=t)
+            else:
+                hits = jnp.full((n, vp.range_total), 6.0)
+                angular = jnp.full((n, 72), vp.max_dist)
+                vals = polar_mod.plain_values_sorted(ps, occ, t=t)
+            vals = polar_mod.stamp_self_sorted(
+                ps, vals, jnp.asarray(st.own_slots), jnp.asarray(st.own_slots_ok)
+            )
+            sensor_maps = polar_mod.sensor_maps_from_sorted(
+                ps, vals, tuple(cfg.image_size), t=t
+            )
 
         vec = observe.vector_state(
             state.robots.pose, state.robots.goal, state.robots.goal_yaw,
@@ -596,8 +638,8 @@ class NavEnv:
         return new_state, obs
 
     # ------------------------------------------------------------------
-    def reset(self, key, carry: Optional[WorldState] = None):
-        return self._reset(key) if carry is None else self._reset(key, carry)
+    def reset(self, key, carry: Optional[WorldState] = None, dataset=None):
+        return self._reset(key, carry, dataset, self.sensor_tables)
 
     def step(self, state, actions):
-        return self._step(state, jnp.asarray(actions))
+        return self._step(state, jnp.asarray(actions), self.sensor_tables)

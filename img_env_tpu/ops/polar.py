@@ -1,0 +1,412 @@
+"""MXU-form sensor pipeline: annulus-sorted fill, raycast as matmuls.
+
+The per-robot sensor stage (agent.cpp:356-624) is gather-bound on TPU: the
+naive port does ~160k pose-dependent map gathers (FOV fill) plus ~543k
+static-index gathers (Bresenham samples) per robot per step.  This module
+restructures the whole stage around ONE gather and a stack of matmuls:
+
+  1. **Sorted fill**: view pixels are statically reordered by radial annulus
+     (distance band from the sensor).  The FOV fill gathers the packed world
+     map once per robot, directly producing ``occ_sorted`` — same gather
+     count as before, different output order (free).
+  2. **Raycast = chunked matmuls**: a beam's Bresenham samples have strictly
+     increasing distance, and a sample's distance is a function of its CELL
+     alone — so annuli partition samples consistently with per-beam order.
+     For each annulus c, a static 0/1 incidence matrix B_c[p, r] (pixel p in
+     annulus c is a visited sample of beam r, truncated at the beam's first
+     out-of-map sample, agent.cpp:562) turns "any occupied visited sample in
+     this band" into ``counts[c] = occ[slice_c] @ B_c`` — MXU work shared
+     across all N robots.  The first nonzero band per beam is exact; a tiny
+     static table gathers that band's <=K samples to recover the exact
+     first-hit cell, bit-matching the sequential walk.
+  3. **Shadow = one-hot matmul**: per-pixel visibility (rho <= hit of the
+     pixel's beam) expands hits back to pixels with a one-hot [P,R] matrix.
+  4. **48x48 resize = sparse gather-sum**: INTER_CUBIC touches 16 inputs per
+     output; static (index, weight) tables evaluate it from the sorted
+     layout in 2304x16 reads instead of materializing the image-ordered map.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from img_env_tpu.constants import (
+    ANGULAR_MAP_SIZE,
+    CELL_SELF_IN_VIEW,
+    CELL_UNSEEN,
+    CELL_VIEW_FREE,
+    LASER_MISS_DIST,
+)
+from img_env_tpu.ops.resize import resize_matrix
+from img_env_tpu.ops.view import (
+    LaserStatics,
+    ViewParams,
+    ViewStatics,
+    _pixel_base_coords,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class PolarTables(NamedTuple):
+    """Device-resident tables, passed as jit ARGUMENTS (not closure
+    constants — the incidence/one-hot matrices are hundreds of MB and would
+    otherwise be baked into the HLO upload)."""
+
+    pix_x: jnp.ndarray
+    pix_y: jnp.ndarray
+    gates: jnp.ndarray
+    rho: jnp.ndarray
+    beam_onehot: jnp.ndarray          # [P', R] bf16 (0/1 exact)
+    b_chunks: Tuple[jnp.ndarray, ...]  # per chunk [L_c, R] bf16
+    refine_pos: jnp.ndarray
+    refine_dist: jnp.ndarray
+    angular_bin: jnp.ndarray
+    resize_pos: jnp.ndarray
+    resize_w: jnp.ndarray
+
+
+class PolarStatics(NamedTuple):
+    """Host-precomputed structure for the matmul sensor pipeline."""
+
+    # sorted pixel layout ----------------------------------------------------
+    perm: np.ndarray            # [P] image-flat index of sorted slot p
+    n_slots: int                # P' = padded sorted length (multiple of 128)
+    pix_x_sorted: np.ndarray    # [P'] base-frame pixel coords (pad -> dead)
+    pix_y_sorted: np.ndarray
+    gates_sorted: np.ndarray    # [P'] bool
+    rho_sorted: np.ndarray      # [P'] distance sensor->pixel (meters)
+    beam_onehot: np.ndarray     # [P', R] f32 one-hot of nearest beam
+    # raycast chunks ---------------------------------------------------------
+    chunk_lo: Tuple[int, ...]   # per chunk: [lo, hi) slice of sorted slots
+    chunk_hi: Tuple[int, ...]
+    b_chunks: Tuple[np.ndarray, ...]  # per chunk [L_c, R] bf16 incidence
+    refine_pos: np.ndarray      # [R, NC, K] int32 sorted-slot of samples
+    refine_dist: np.ndarray     # [R, NC, K] f32 hit distance (pad 6.0)
+    angular_bin: np.ndarray     # [R]
+    # resize -----------------------------------------------------------------
+    resize_pos: np.ndarray      # [48*48, 16] int32 sorted slots
+    resize_w: np.ndarray        # [48*48, 16] f32 cubic weights
+    params: ViewParams
+
+    @staticmethod
+    def build(p: ViewParams, sensor_base=(0.0, 0.0), image_size=(48, 48),
+              n_chunks: int = 48) -> "PolarStatics":
+        hpx, wpx = p.hpx, p.wpx
+        P = hpx * wpx
+        ls = LaserStatics.build(p, sensor_base)
+        xb, yb = _pixel_base_coords(p)
+        vs = ViewStatics.build(p, sensor_base)
+
+        # --- radial band per pixel (distance from the sensor origin cell) ---
+        ox, oy = ls.origin[0] * p.resolution, ls.origin[1] * p.resolution
+        ii = np.arange(hpx)[:, None] * p.resolution
+        jj = np.arange(wpx)[None, :] * p.resolution
+        rho = np.hypot(ii - ox, jj - oy)
+        max_range = math.hypot(p.half, p.half) + 2 * p.resolution
+        band = max_range / n_chunks
+        chunk_of_pixel = np.minimum((rho / band).astype(np.int64),
+                                    n_chunks - 1).reshape(-1)
+
+        # --- sorted layout, chunk slices padded to 128 -----------------------
+        order = np.argsort(chunk_of_pixel, kind="stable")
+        sorted_chunks = chunk_of_pixel[order]
+        counts = np.bincount(sorted_chunks, minlength=n_chunks)
+        lo_list, hi_list = [], []
+        slot_of_pixel = np.empty(P, np.int64)
+        slots = []
+        pos = 0
+        start = 0
+        for c in range(n_chunks):
+            lc = int(counts[c])
+            lo_list.append(pos)
+            idxs = order[start:start + lc]
+            slot_of_pixel[idxs] = pos + np.arange(lc)
+            slots.append(idxs)
+            pos += _round_up(max(lc, 1), 128)
+            hi_list.append(lo_list[-1] + _round_up(max(lc, 1), 128))
+            start += lc
+        n_slots = _round_up(pos + 1, 128)  # +1 dead slot
+
+        perm = np.full(n_slots, -1, np.int64)
+        for c in range(n_chunks):
+            perm[lo_list[c]:lo_list[c] + len(slots[c])] = slots[c]
+        dead = perm < 0
+
+        flat = lambda a: a.reshape(-1)
+        px = np.where(dead, 1e6, flat(xb)[np.maximum(perm, 0)])
+        py = np.where(dead, 1e6, flat(yb)[np.maximum(perm, 0)])
+        gates = np.where(dead, False, flat(vs.gates)[np.maximum(perm, 0)])
+        rho_s = np.where(dead, 1e6, flat(rho)[np.maximum(perm, 0)])
+        beam = flat(vs.pix_beam)[np.maximum(perm, 0)]
+        onehot = np.zeros((n_slots, p.range_total), np.float32)
+        onehot[np.arange(n_slots)[~dead], beam[~dead]] = 1.0
+
+        # --- beam-sample incidence, truncated at first out-of-map ------------
+        cells, valid = ls.cells, ls.valid            # [R,S,2], [R,S]
+        inb = ((cells[..., 0] >= 0) & (cells[..., 0] < hpx)
+               & (cells[..., 1] >= 0) & (cells[..., 1] < wpx))
+        oob = valid & ~inb
+        S = cells.shape[1]
+        first_oob = np.where(oob.any(1), oob.argmax(1), S)
+        s_idx = np.arange(S)[None, :]
+        eff = valid & inb & (s_idx < first_oob[:, None])
+
+        pix_flat = cells[..., 0] * wpx + cells[..., 1]      # [R,S]
+        pix_flat = np.where(eff, pix_flat, 0)
+        sample_slot = np.where(eff, slot_of_pixel[pix_flat], -1)
+        sample_chunk = np.where(
+            eff, chunk_of_pixel[pix_flat], n_chunks)        # [R,S]
+
+        R = p.range_total
+        b_chunks = []
+        K = 1
+        for c in range(n_chunks):
+            sel = sample_chunk == c
+            K = max(K, int(sel.sum(1).max(initial=1)))
+        refine_pos = np.full((R, n_chunks, K), n_slots - 1, np.int32)
+        # float64 so x64 parity tests stay bit-exact (downcasts on TPU)
+        refine_dist = np.full((R, n_chunks, K), LASER_MISS_DIST, np.float64)
+        for c in range(n_chunks):
+            lc, hc = lo_list[c], hi_list[c]
+            B = np.zeros((hc - lc, R), np.float32)
+            sel = sample_chunk == c                          # [R,S]
+            rs, ss = np.nonzero(sel)
+            B[sample_slot[rs, ss] - lc, rs] = 1.0
+            b_chunks.append(B.astype(jnp.bfloat16))
+            # refinement: samples of each beam in this chunk, s-ordered
+            for r in np.unique(rs):
+                s_list = ss[rs == r]
+                kk = len(s_list)
+                refine_pos[r, c, :kk] = sample_slot[r, s_list]
+                refine_dist[r, c, :kk] = ls.dists[r, s_list]
+
+        # --- sparse INTER_CUBIC resize ---------------------------------------
+        oh, ow = image_size
+        Wh = resize_matrix(oh, hpx)                          # [48, hpx]
+        Ww = resize_matrix(ow, wpx)
+        ridx = np.zeros((oh * ow, 16), np.int64)
+        rw = np.zeros((oh * ow, 16), np.float64)
+        hnz = [np.nonzero(Wh[a])[0] for a in range(oh)]
+        wnz = [np.nonzero(Ww[b])[0] for b in range(ow)]
+        for a in range(oh):
+            for b in range(ow):
+                o = a * ow + b
+                k = 0
+                for i in hnz[a]:
+                    for j in wnz[b]:
+                        ridx[o, k] = slot_of_pixel[i * wpx + j]
+                        rw[o, k] = Wh[a, i] * Ww[b, j]
+                        k += 1
+                # unreferenced slots keep weight 0 on the dead slot
+                ridx[o, k:] = n_slots - 1
+
+        astep = abs(p.angle_end - p.angle_begin) / p.range_total
+        ang_map_step = abs(p.angle_end - p.angle_begin) / ANGULAR_MAP_SIZE
+        bins = np.clip((astep * np.arange(R) / ang_map_step).astype(np.int32),
+                       0, ANGULAR_MAP_SIZE - 1)
+
+        return PolarStatics(
+            perm=perm, n_slots=n_slots,
+            pix_x_sorted=px,
+            pix_y_sorted=py,
+            gates_sorted=gates, rho_sorted=rho_s,
+            beam_onehot=onehot,
+            chunk_lo=tuple(lo_list), chunk_hi=tuple(hi_list),
+            b_chunks=tuple(b_chunks),
+            refine_pos=refine_pos, refine_dist=refine_dist,
+            angular_bin=bins,
+            resize_pos=ridx.astype(np.int32), resize_w=rw.astype(np.float32),
+            params=p,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Batched runtime
+# ---------------------------------------------------------------------------
+
+
+def make_tables(ps: PolarStatics, device_put: bool = True) -> PolarTables:
+    """Materialize the big arrays as device arrays (jit arguments)."""
+    put = jax.device_put if device_put else jnp.asarray
+    return PolarTables(
+        pix_x=put(jnp.asarray(ps.pix_x_sorted)),
+        pix_y=put(jnp.asarray(ps.pix_y_sorted)),
+        gates=put(jnp.asarray(ps.gates_sorted)),
+        rho=put(jnp.asarray(ps.rho_sorted)),
+        beam_onehot=put(jnp.asarray(ps.beam_onehot, jnp.bfloat16)),
+        b_chunks=tuple(put(jnp.asarray(b)) for b in ps.b_chunks),
+        refine_pos=put(jnp.asarray(ps.refine_pos)),
+        refine_dist=put(jnp.asarray(ps.refine_dist)),
+        angular_bin=put(jnp.asarray(ps.angular_bin)),
+        resize_pos=put(jnp.asarray(ps.resize_pos)),
+        resize_w=put(jnp.asarray(ps.resize_w)),
+    )
+
+
+def fill_sorted(ps: PolarStatics, packed_map, resolution, poses,
+                own_locals, own_origins, t: PolarTables = None):
+    """[N, P'] occupancy in sorted order — ONE gather per robot.
+
+    Mirrors ops/view.gather_world_occupancy (packed map, self-exclusion via
+    the per-robot local footprint map), emitting annulus-sorted slots.
+    """
+    from img_env_tpu.ops.raster import round_half_away
+
+    h, w = packed_map.shape
+    bx = t.pix_x if t is not None else jnp.asarray(ps.pix_x_sorted)
+    by = t.pix_y if t is not None else jnp.asarray(ps.pix_y_sorted)
+
+    def one(pose, own_local, own_origin):
+        c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+        wx = c * bx - s * by + pose[0]
+        wy = s * bx + c * by + pose[1]
+        cm = round_half_away(wx / resolution).astype(jnp.int32)
+        cn = round_half_away(wy / resolution).astype(jnp.int32)
+        inside = (cm >= 0) & (cm < h) & (cn >= 0) & (cn < w)
+        v = packed_map[jnp.clip(cm, 0, h - 1), jnp.clip(cn, 0, w - 1)]
+        static_occ = (v & 1) > 0
+        rc = (v >> 1).astype(jnp.int32)
+        e = own_local.shape[0]
+        lm = cm - own_origin[0]
+        ln = cn - own_origin[1]
+        in_local = (lm >= 0) & (lm < e) & (ln >= 0) & (ln < e)
+        own = jnp.where(
+            in_local,
+            own_local[jnp.clip(lm, 0, e - 1), jnp.clip(ln, 0, e - 1)], False)
+        other = (rc - own.astype(rc.dtype)) > 0
+        return inside & (static_occ | other)
+
+    return jax.vmap(one)(poses, own_locals, own_origins)
+
+
+def raycast_batched(ps: PolarStatics, occ_sorted, t: PolarTables = None):
+    """Exact first-hit per beam for all robots at once.
+
+    occ_sorted: [N, P'] raw fill occupancy, sorted layout.  The rays read
+    the FOV-gated map (``source_occ`` in the reference, agent.cpp:394-401) —
+    gating is applied here.  Returns (hits [N,R], angular [N,72]).
+    """
+    gates = t.gates if t is not None else jnp.asarray(ps.gates_sorted)
+    source_occ_sorted = occ_sorted & gates[None]
+    n = source_occ_sorted.shape[0]
+    R = ps.params.range_total
+    nc = len(ps.b_chunks)
+    occ_bf = source_occ_sorted.astype(jnp.bfloat16)
+
+    counts = []
+    for c in range(nc):
+        B = (t.b_chunks[c] if t is not None
+             else jnp.asarray(ps.b_chunks[c]))                # [L_c, R]
+        seg = occ_bf[:, ps.chunk_lo[c]:ps.chunk_hi[c]]        # [N, L_c]
+        counts.append(jnp.dot(seg, B, preferred_element_type=jnp.float32))
+    counts = jnp.stack(counts, axis=1)                        # [N, NC, R]
+    fired = counts > 0.5
+    any_hit = fired.any(axis=1)                               # [N, R]
+    first_c = jnp.where(any_hit, jnp.argmax(fired, axis=1), nc - 1)
+
+    # refinement: exact first occupied sample inside the fired band
+    rp = t.refine_pos if t is not None else jnp.asarray(ps.refine_pos)
+    rd = t.refine_dist if t is not None else jnp.asarray(ps.refine_dist)
+    k = rp.shape[-1]
+    idx = jnp.take_along_axis(
+        rp[None], first_c[:, :, None, None], axis=2)[:, :, 0]   # [N, R, K]
+    dts = jnp.take_along_axis(
+        rd[None], first_c[:, :, None, None], axis=2)[:, :, 0]   # [N, R, K]
+    occ_at = jnp.take_along_axis(
+        source_occ_sorted, idx.reshape(n, -1), axis=1).reshape(n, R, k)
+    first_k = jnp.argmax(occ_at, axis=-1)                     # [N, R]
+    hit_d = jnp.take_along_axis(dts, first_k[..., None], axis=-1)[..., 0]
+    hits = jnp.where(any_hit & occ_at.any(-1), hit_d, LASER_MISS_DIST)
+
+    bins = t.angular_bin if t is not None else jnp.asarray(ps.angular_bin)
+    angular = jnp.full((n, ANGULAR_MAP_SIZE), ps.params.max_dist, hits.dtype)
+    angular = angular.at[:, bins].min(hits)
+    return hits, angular
+
+
+def shadow_values_sorted(ps: PolarStatics, occ_sorted, hits,
+                         t: PolarTables = None):
+    """Per-slot view value {0, 200, 255} after shadow tracing.
+
+    occ_sorted: [N, P'] bool; hits: [N, R].  The hit distance of each
+    pixel's beam expands via the one-hot matmul (the 0/1 matrix is exact in
+    any dtype; hits stay full precision in the accumulator).
+    """
+    B = (t.beam_onehot if t is not None
+         else jnp.asarray(ps.beam_onehot)).astype(hits.dtype)  # [P', R]
+    # one-hot selection: exact in the hits dtype (f64 in x64 parity tests)
+    h_of_pix = jnp.dot(hits, B.T, preferred_element_type=hits.dtype)
+    rho = (t.rho if t is not None else jnp.asarray(ps.rho_sorted))[None]
+    gates = (t.gates if t is not None else jnp.asarray(ps.gates_sorted))[None]
+    seen = rho <= h_of_pix + ps.params.resolution * 0.5
+    source = gates & occ_sorted
+    return jnp.where(
+        seen & source, 0,
+        jnp.where(seen & gates, CELL_VIEW_FREE, CELL_UNSEEN),
+    ).astype(jnp.float32)
+
+
+def plain_values_sorted(ps: PolarStatics, occ_sorted, t: PolarTables = None):
+    """use_laser=False view values (no shadow), sorted order."""
+    gates = (t.gates if t is not None else jnp.asarray(ps.gates_sorted))[None]
+    source = gates & occ_sorted
+    return jnp.where(
+        source, 0, jnp.where(gates, CELL_VIEW_FREE, CELL_UNSEEN)
+    ).astype(jnp.float32)
+
+
+def stamp_self_sorted(ps: PolarStatics, values, own_slots, own_valid):
+    """Self footprint (value 100) into non-occupied slots (agent.cpp:315-322).
+
+    own_slots: [N, Q] sorted-slot indices (precomputed per robot shape),
+    own_valid: [N, Q].
+    """
+    n = values.shape[0]
+
+    def one(vals, slots, ok):
+        cur = vals[slots]
+        new = jnp.where(ok & (cur != 0), float(CELL_SELF_IN_VIEW), cur)
+        return vals.at[slots].set(new)
+
+    return jax.vmap(one)(values, own_slots, own_valid)
+
+
+def sensor_maps_from_sorted(ps: PolarStatics, values, image_size,
+                            dtype=jnp.float32, t: PolarTables = None):
+    """Sparse INTER_CUBIC resize + /255 from the sorted layout.
+
+    values: [N, P'] floats (view map values).  Returns [N, 48, 48].
+    """
+    n = values.shape[0]
+    pos = t.resize_pos if t is not None else jnp.asarray(ps.resize_pos)
+    w = t.resize_w if t is not None else jnp.asarray(ps.resize_w)
+    gathered = values[:, pos.reshape(-1)].reshape(n, pos.shape[0], pos.shape[1])
+    out = (gathered * w[None]).sum(-1)
+    # cv2 saturates the cubic overshoot back into uint8 range and rounds
+    # (same as ops/resize.sensor_map_from_view).
+    out = jnp.clip(jnp.round(out), 0, 255) / 255.0
+    oh, ow = image_size
+    return out.astype(dtype).reshape(n, oh, ow)
+
+
+def own_slots_from_cells(ps: PolarStatics, own_view_cells, own_view_valid):
+    """Convert per-robot static view cells to sorted slots (host-side)."""
+    p = ps.params
+    cells = np.asarray(own_view_cells)
+    valid = np.asarray(own_view_valid)
+    inb = ((cells[..., 0] >= 0) & (cells[..., 0] < p.hpx)
+           & (cells[..., 1] >= 0) & (cells[..., 1] < p.wpx))
+    flat = np.where(inb, cells[..., 0] * p.wpx + cells[..., 1], 0)
+    slot_of_pixel = np.full(p.hpx * p.wpx, ps.n_slots - 1, np.int64)
+    live = ps.perm >= 0
+    slot_of_pixel[ps.perm[live]] = np.nonzero(live)[0]
+    slots = np.where(inb & valid, slot_of_pixel[flat], ps.n_slots - 1)
+    return slots.astype(np.int32), (valid & inb)

@@ -32,16 +32,18 @@ class BatchedNavEnv:
         self.cfg = cfg
         self.mesh = mesh
         self.core = NavEnv(cfg, jit=False)
-
-        reset_one = lambda key: self.core.reset_fn(key)
-        step_one = self.core.step_fn
+        tables = self.core.sensor_tables
 
         def reset_fn(keys):
-            out = jax.vmap(reset_one)(keys)
+            out = jax.vmap(
+                lambda key: self.core.reset_fn(key, sensor_tables=tables)
+            )(keys)
             return self._constrain(out)
 
         def step_fn(states, actions):
-            out = jax.vmap(step_one)(states, actions)
+            out = jax.vmap(
+                lambda s, a: self.core.step_fn(s, a, sensor_tables=tables)
+            )(states, actions)
             return self._constrain(out)
 
         self.reset_fn = reset_fn

@@ -1,0 +1,121 @@
+"""Matmul sensor pipeline vs the gather reference path: bit-exact lasers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from img_env_tpu.ops import polar, raster
+from img_env_tpu.ops.resize import sensor_map_from_view
+from img_env_tpu.ops.view import ViewParams, ViewStatics, own_view_cells, render_robot_view
+
+from tests.test_raster import RES, _layers_from_scene, _random_scene, _pad
+
+VP = ViewParams(
+    hpx=60, wpx=60, resolution=RES, half=1.5,
+    angle_begin=-1.570795, angle_end=1.570795,
+    min_dist=0.0, max_dist=10.0, range_total=60, use_laser=True,
+)
+
+
+def _both_paths(rng, n_rob=3, n_ped=2, n_obs=2, vp=VP):
+    static, obs, peds, robots = _random_scene(rng, n_rob=n_rob, n_ped=n_ped,
+                                              n_obs=n_obs)
+    layers = _layers_from_scene(static, obs, peds, robots)
+    vs = ViewStatics.build(vp)
+    ps = polar.PolarStatics.build(vp, image_size=(48, 48), n_chunks=16)
+    rob_poses = jnp.asarray(np.stack([p for p, _ in robots]))
+    rob_pts, rob_msk = _pad([c for _, c in robots])
+    own_maps, own_orig = raster.own_local_maps(
+        layers.robot_cells, layers.robot_cells_valid)
+
+    # reference gather path (validated bit-exact vs the NumPy oracle)
+    ref = []
+    for i in range(n_rob):
+        vc, vm = own_view_cells(rob_pts[i], rob_msk[i], vp)
+        view, hits, ang = render_robot_view(
+            layers, RES, rob_poses[i], own_maps[i], own_orig[i],
+            jnp.asarray(vc), jnp.asarray(vm), vs, vp)
+        ref.append((np.asarray(view), np.asarray(hits), np.asarray(ang)))
+
+    # new matmul path
+    occ = polar.fill_sorted(ps, layers.packed, RES, rob_poses,
+                            own_maps, own_orig)
+    hits, ang = polar.raycast_batched(ps, occ)
+    vals = polar.shadow_values_sorted(ps, occ, hits)
+    own_slots = []
+    own_ok = []
+    for i in range(n_rob):
+        vc, vm = own_view_cells(rob_pts[i], rob_msk[i], vp)
+        sl, ok = polar.own_slots_from_cells(ps, vc, vm)
+        own_slots.append(sl)
+        own_ok.append(ok)
+    vals = polar.stamp_self_sorted(
+        ps, vals, jnp.asarray(np.stack(own_slots)),
+        jnp.asarray(np.stack(own_ok)))
+    sm = polar.sensor_maps_from_sorted(ps, vals, (48, 48))
+    return ref, (np.asarray(hits), np.asarray(ang), np.asarray(vals),
+                 np.asarray(sm)), ps, layers
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_hits_bit_exact(rng, trial):
+    ref, new, ps, _ = _both_paths(rng)
+    hits, ang = new[0], new[1]
+    for i in range(len(ref)):
+        np.testing.assert_allclose(hits[i], ref[i][1], atol=0, rtol=0,
+                                   err_msg=f"robot {i}")
+        np.testing.assert_allclose(ang[i], ref[i][2], atol=0, rtol=0)
+
+
+def test_sorted_values_match_reference_view(rng):
+    """Per-pixel shadow values in sorted order == reference view map pixels."""
+    ref, new, ps, _ = _both_paths(rng, n_rob=2)
+    vals = new[2]
+    live = ps.perm >= 0
+    for i in range(len(ref)):
+        ref_flat = ref[i][0].reshape(-1).astype(np.float32)
+        np.testing.assert_array_equal(
+            vals[i][live], ref_flat[ps.perm[live]], err_msg=f"robot {i}")
+
+
+def test_sensor_maps_match(rng):
+    ref, new, ps, _ = _both_paths(rng, n_rob=2)
+    sm_new = new[3]
+    for i in range(len(ref)):
+        want = np.asarray(sensor_map_from_view(
+            jnp.asarray(ref[i][0]), (48, 48)))
+        np.testing.assert_allclose(sm_new[i], want, atol=1.01 / 255,
+                                   err_msg=f"robot {i}")
+
+
+def test_no_laser_values(rng):
+    vp = VP._replace(use_laser=False)
+    static, obs, peds, robots = _random_scene(rng, n_rob=2, n_ped=1, n_obs=1)
+    layers = _layers_from_scene(static, obs, peds, robots)
+    ps = polar.PolarStatics.build(vp, n_chunks=16)
+    vs = ViewStatics.build(vp)
+    rob_poses = jnp.asarray(np.stack([p for p, _ in robots]))
+    rob_pts, rob_msk = _pad([c for _, c in robots])
+    own_maps, own_orig = raster.own_local_maps(
+        layers.robot_cells, layers.robot_cells_valid)
+    occ = polar.fill_sorted(ps, layers.packed, RES, rob_poses,
+                            own_maps, own_orig)
+    vals = polar.plain_values_sorted(ps, occ)
+    slots, oks = [], []
+    for i in range(2):
+        vc, vm = own_view_cells(rob_pts[i], rob_msk[i], vp)
+        sl, ok = polar.own_slots_from_cells(ps, vc, vm)
+        slots.append(sl)
+        oks.append(ok)
+    vals = polar.stamp_self_sorted(
+        ps, vals, jnp.asarray(np.stack(slots)), jnp.asarray(np.stack(oks)))
+    for i in range(2):
+        vc, vm = own_view_cells(rob_pts[i], rob_msk[i], vp)
+        view, _, _ = render_robot_view(
+            layers, RES, rob_poses[i], own_maps[i], own_orig[i],
+            jnp.asarray(vc), jnp.asarray(vm), vs, vp)
+        live = ps.perm >= 0
+        np.testing.assert_array_equal(
+            np.asarray(vals[i])[live],
+            np.asarray(view).reshape(-1).astype(np.float32)[ps.perm[live]])
