@@ -119,6 +119,41 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # secondary: 'fast' sensor mode (coarse view grid) — the RL-training path
+    try:
+        cfg_f = cfg.replace(sensor_mode="fast")
+        env_f = NavEnv(cfg_f)
+        ctl_f = MpcController(
+            env_f, MppiConfig(horizon=MPPI_HORIZON, samples=MPPI_SAMPLES))
+        state_f, _ = env_f.reset(jax.random.PRNGKey(0))
+        ms_f = ctl_f.init_state()
+
+        @jax.jit
+        def control_step_f(key, state, mpc_state, tables):
+            k_plan, k_next = jax.random.split(key)
+            actions, mpc_state, costs = ctl_f.act_fn(k_plan, state, mpc_state)
+            state, obs, *_ = env_f.step_fn(state, actions, tables)
+            chk = (obs.sensor_maps.sum() + obs.lasers.sum())
+            return k_next, state, mpc_state, chk
+
+        tb = env_f.sensor_tables
+        kf = jax.random.PRNGKey(1)
+        for _ in range(WARMUP):
+            kf, state_f, ms_f, chk = control_step_f(kf, state_f, ms_f, tb)
+        jax.block_until_ready(chk)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            kf, state_f, ms_f, chk = control_step_f(kf, state_f, ms_f, tb)
+        jax.block_until_ready(chk)
+        dtf = time.perf_counter() - t0
+        print(
+            f"# fast-mode: {dtf / ITERS * 1e3:.1f} ms/step, "
+            f"{ITERS * N_ROBOTS * MPPI_SAMPLES / dtf:.0f} rollouts/s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # secondary metric must never break the bench
+        print(f"# fast-mode failed: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,98 @@
+"""Sharded PPO training over the batched env — the end-to-end training demo.
+
+    python examples/train_ppo.py [--scenes 8] [--updates 20] [--unroll 16]
+
+Scenes shard over the device mesh (1 real chip -> mesh of 1; on a pod slice
+every chip takes scenes/n_dev scenes).  The whole update (rollout + GAE +
+clipped PPO step) is ONE compiled program per call.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cfg", nargs="?", default=None)
+    ap.add_argument("--scenes", type=int, default=8)
+    ap.add_argument("--updates", type=int, default=20)
+    ap.add_argument("--unroll", type=int, default=16)
+    ap.add_argument("--robots", type=int, default=2)
+    ap.add_argument("--peds", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from img_env_tpu.config import EnvConfig
+    from img_env_tpu.models.policy import PolicyConfig, init_policy
+    from img_env_tpu.parallel.batched_env import BatchedNavEnv
+    from img_env_tpu.parallel.mesh import make_mesh, tp_param_shardings
+    from img_env_tpu.train.ppo import PpoConfig, make_train_step
+
+    if args.cfg:
+        cfg = EnvConfig.from_yaml(args.cfg)
+    else:
+        cfg = EnvConfig.from_dict({
+            "robot": {
+                "total": args.robots,
+                "begin_poses_type": ["range"], "begin_poses": [[1.0, 9.0, 1.0, 9.0]],
+                "target_poses_type": ["range"], "target_poses": [[1.0, 9.0, 1.0, 9.0]],
+            },
+            "ped_sim": {
+                "total": args.peds, "type": "rvoscene", "max_speed": [0.5],
+                "begin_poses_type": ["range"], "begin_poses": [[1.0, 9.0, 1.0, 9.0]],
+                "target_poses_type": ["range"], "target_poses": [[1.0, 9.0, 1.0, 9.0]],
+            },
+            "global_map": {"map_file": "room_10.png", "resolution": 0.1},
+            "view_map": {"resolution": 0.03, "width": 6.0, "height": 6.0},
+            "range_total": 128,
+            "max_ped": max(args.peds, 1),
+            "sensor_mode": "fast",
+        })
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(scene=n_dev, model=1)
+    env = BatchedNavEnv(cfg, mesh=mesh, jit=False)
+    pcfg = PolicyConfig.from_env_config(cfg)
+    model, params = init_policy(jax.random.PRNGKey(0), pcfg, batch=2)
+    params = jax.device_put(params, tp_param_shardings(params, mesh))
+
+    init_fn, train_step = make_train_step(
+        env, model, PpoConfig(unroll=args.unroll))
+    ts = init_fn(params)
+    step = jax.jit(train_step)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), args.scenes)
+    with mesh:
+        states, obs = jax.jit(env.reset_fn)(keys)
+        key = jax.random.PRNGKey(2)
+        t0 = time.perf_counter()
+        for u in range(args.updates):
+            key, k = jax.random.split(key)
+            ts, states, obs, metrics = step(ts, states, obs, k)
+            if (u + 1) % 5 == 0 or u == 0:
+                jax.block_until_ready(metrics["loss"])
+                el = time.perf_counter() - t0
+                sps = (u + 1) * args.unroll * args.scenes * cfg.robot.total / el
+                print(f"update {u+1:4d}  loss {float(metrics['loss']):9.4f}  "
+                      f"reward {float(metrics['reward_mean']):8.3f}  "
+                      f"entropy {float(metrics['entropy']):6.3f}  "
+                      f"{sps:8.0f} robot-steps/s")
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

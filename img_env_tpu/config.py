@@ -223,7 +223,10 @@ class EnvConfig:
 
     # --- TPU-engine extensions ----------------------------------------------
     num_scenes: int = 1               # batched scenes per program instance
-    sensor_mode: str = "parity"       # 'parity' | 'fast'
+    sensor_mode: str = "parity"       # 'parity' | 'fast' | 'reference'
+    fast_sensor_scale: int = 3        # 'fast': view grid coarsened 3x (9x
+                                      #   fewer gathers; lasers quantized to
+                                      #   scale*view_resolution)
     max_obs_segments: int = 16        # ORCA obstacle segments per agent
     reset_trials: int = 64            # bounded rejection-sampling trials
     map_dir: str = _DEF_MAP_DIR
@@ -284,7 +287,7 @@ class EnvConfig:
             "view_angle_begin", "view_angle_end", "view_min_dist",
             "view_max_dist", "beep_r", "ped_ca_p", "relation_ped_robo",
             "target_min_dist", "num_scenes", "sensor_mode",
-            "max_obs_segments", "reset_trials", "map_dir",
+            "fast_sensor_scale", "max_obs_segments", "reset_trials", "map_dir",
         ]
         for f in simple_fields:
             if f in raw and raw[f] is not None:

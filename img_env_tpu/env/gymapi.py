@@ -136,9 +136,19 @@ class ImgNavEnv:
         return obs_out, np.asarray(reward), np.asarray(done), np_info
 
 
-def make_env(cfg: Union[str, dict, EnvConfig], seed: int = 0) -> ImgNavEnv:
+def make_env(cfg: Union[str, dict, EnvConfig], seed: int = 0, **kw):
+    """Reference-style factory (envs/__init__.py:24-33): dispatch on
+    ``env_type`` — 'robot_nav' -> simulator, 'real_env' -> hardware facade."""
     if isinstance(cfg, str):
         cfg = EnvConfig.from_dict(read_yaml(cfg))
     elif isinstance(cfg, dict):
         cfg = EnvConfig.from_dict(cfg)
-    return ImgNavEnv(cfg, seed=seed)
+    if cfg.env_type == "real_env":
+        from img_env_tpu.env.hardware_env import HardwareEnv
+
+        return HardwareEnv(cfg, **kw)
+    if cfg.env_type == "gazebo_env":
+        raise NotImplementedError(
+            "gazebo_env requires a Gazebo installation; use env_type "
+            "'robot_nav' (simulator) or 'real_env' (hardware facade)")
+    return ImgNavEnv(cfg, seed=seed, **kw)
