@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--samples", type=int, default=128)
     ap.add_argument("--horizon", type=int, default=10)
     ap.add_argument("--method", default="mppi", choices=["mppi", "ilqr"])
+    ap.add_argument("--pred", default="cv", choices=["cv", "orca", "sfm"],
+                    help="pedestrian prediction head")
     ap.add_argument("--render", default=None)
     args = ap.parse_args()
 
@@ -55,7 +57,8 @@ def main():
 
     env = NavEnv(cfg)
     ctl = MpcController(env, MppiConfig(
-        horizon=args.horizon, samples=args.samples), method=args.method)
+        horizon=args.horizon, samples=args.samples), method=args.method,
+        ped_prediction=args.pred)
 
     key = jax.random.PRNGKey(0)
     state, obs = env.reset(key)

@@ -6,6 +6,7 @@ from img_env_tpu.mpc.edt import edt2d, edt2d_device
 from img_env_tpu.mpc.ilqr import IlqrConfig, batched_ilqr, ilqr_solve, smooth_step
 from img_env_tpu.mpc.lqr import LqtProblem, lqt_backward_assoc, lqt_backward_seq
 from img_env_tpu.mpc.mppi import MppiConfig, PlannerState, batched_mppi, cem_plan, mppi_plan
+from img_env_tpu.mpc.prediction import predict_peds
 
 __all__ = [
     "IlqrConfig",

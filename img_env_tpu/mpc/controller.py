@@ -42,8 +42,10 @@ class MpcController:
         cfg: Optional[MppiConfig] = None,
         weights: Optional[CostWeights] = None,
         method: str = "mppi",
+        ped_prediction: str = "cv",   # 'cv' | 'orca' | 'sfm' head
     ):
         self.env = env
+        self.ped_prediction = ped_prediction
         ranges = env.cfg.continuous_actions
         self.cfg = cfg or MppiConfig(
             v_range=tuple(ranges[0]), w_range=tuple(ranges[1]))
@@ -81,13 +83,24 @@ class MpcController:
         ped_vel = state.peds.vel if m else jnp.zeros((0, 2))
         ped_r = jnp.asarray(env.statics.ped_r) if m else jnp.zeros((0,))
 
+        # one ped-trajectory prediction per solve, shared by all rollouts
+        from img_env_tpu.mpc.prediction import predict_peds
+
+        ped_vmax = (jnp.asarray(env.statics.ped_max_speed)
+                    if m else jnp.zeros((0,)))
+        ped_traj = predict_peds(
+            self.ped_prediction, ped_pos, ped_vel, ped_vmax,
+            self.cfg.horizon, float(env.cfg.control_hz),
+            orca_cfg=env.statics.orca_cfg,
+        )
+
         if self.method == "ilqr":
             icfg = IlqrConfig(
                 horizon=self.cfg.horizon,
                 v_range=self.cfg.v_range, w_range=self.cfg.w_range)
             us, xs, costs = batched_ilqr(
                 state.robots.pose, state.robots.goal, mpc_state.nominal,
-                wc, ped_pos, ped_vel, ped_r, icfg, self.weights,
+                wc, ped_traj, ped_r, icfg, self.weights,
                 float(env.cfg.control_hz))
             acts = us[:, 0]
             nominal = jnp.concatenate([us[:, 1:], us[:, -1:]], axis=1)
@@ -98,7 +111,7 @@ class MpcController:
                 state.robots.pose, state.robots.vw_last0, state.robots.vw_last1,
                 state.robots.goal, wc,
                 env.statics.limiter_v, env.statics.limiter_w,
-                ped_pos, ped_vel, ped_r, self.cfg, self.weights,
+                ped_traj, ped_r, self.cfg, self.weights,
                 float(env.cfg.control_hz), env.cfg.robot_type == "omni",
             )
         actions = jnp.concatenate([acts, jnp.zeros((n, 1))], axis=-1)

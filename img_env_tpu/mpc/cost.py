@@ -108,16 +108,29 @@ def ped_clearance(xy, t_idx, ped_pos, ped_vel, ped_r, dt: float):
     return jnp.min(d, axis=-1)
 
 
+def ped_clearance_at(xy, ped_pos_t, ped_r):
+    """Min distance to given per-step ped positions (any prediction head).
+
+    xy: [...,2]; ped_pos_t: [M,2] predicted positions at this horizon step.
+    """
+    if ped_pos_t.shape[0] == 0:
+        return jnp.full(xy.shape[:-1], jnp.inf)
+    d = jnp.linalg.norm(xy[..., None, :] - ped_pos_t, axis=-1) - ped_r
+    return jnp.min(d, axis=-1)
+
+
 def stage_cost(
     wc: WorldCost, w8: CostWeights,
-    xy, goal, v, w, prev_v, prev_w, t_idx,
-    ped_pos, ped_vel, ped_r, dt: float,
+    xy, goal, v, w, prev_v, prev_w,
+    ped_pos_t, ped_r,
 ):
+    """One horizon step's cost; ped_pos_t are this step's predicted ped
+    positions (from any prediction head, mpc/prediction.py)."""
     goal_d = jnp.linalg.norm(goal - xy, axis=-1)
     sd = static_distance(wc, xy) - wc.robot_radius
     coll = (sd <= 0.0).astype(jnp.float32)
     hinge = jnp.maximum(w8.safety_dist - sd, 0.0)
-    pd = ped_clearance(xy, t_idx, ped_pos, ped_vel, ped_r, dt) - wc.robot_radius
+    pd = ped_clearance_at(xy, ped_pos_t, ped_r) - wc.robot_radius
     ped_coll = (pd <= 0.0).astype(jnp.float32)
     ped_hinge = jnp.maximum(w8.ped_safety - pd, 0.0)
     return (

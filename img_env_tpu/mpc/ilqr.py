@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from img_env_tpu.mpc.cost import (
     CostWeights,
     WorldCost,
-    ped_clearance,
+    ped_clearance_at,
     static_distance_smooth,
 )
 from img_env_tpu.mpc.lqr import LqtProblem, lqt_backward_assoc
@@ -58,12 +58,13 @@ def smooth_step(x, u, dt: float):
 
 
 def _stage_cost(wc: WorldCost, w8: CostWeights, goal,
-                ped_pos, ped_vel, ped_r, dt: float, x, u, t):
+                ped_traj, ped_r, dt: float, x, u, t):
     xy = x[:2]
     goal_d = jnp.sum((goal - xy) ** 2)
     sd = static_distance_smooth(wc, xy) - wc.robot_radius
     hinge = jax.nn.softplus((w8.safety_dist - sd) * 8.0) / 8.0
-    pd = ped_clearance(xy[None], jnp.asarray([t]), ped_pos, ped_vel, ped_r, dt)[0] - wc.robot_radius
+    ped_t = ped_traj[jnp.minimum(t, ped_traj.shape[0] - 1)]
+    pd = ped_clearance_at(xy[None], ped_t, ped_r)[0] - wc.robot_radius
     ped_hinge = jax.nn.softplus((w8.ped_safety - pd) * 8.0) / 8.0
     return (w8.goal * goal_d
             + w8.clearance * hinge ** 2 * 4.0
@@ -78,7 +79,7 @@ def _terminal_cost(wc: WorldCost, w8: CostWeights, goal, x):
 def ilqr_solve(
     x0, goal, us_init,
     wc: WorldCost,
-    ped_pos, ped_vel, ped_r,
+    ped_traj, ped_r,
     cfg: IlqrConfig, w8: CostWeights = CostWeights(),
     dt: float = 0.4,
 ):
@@ -88,7 +89,10 @@ def ilqr_solve(
     lo = jnp.asarray([cfg.v_range[0], cfg.w_range[0]])
     hi = jnp.asarray([cfg.v_range[1], cfg.w_range[1]])
 
-    stage = functools.partial(_stage_cost, wc, w8, goal, ped_pos, ped_vel,
+    if ped_traj.ndim == 2:  # back-compat: [M,2] static peds -> frozen traj
+        ped_traj = jnp.broadcast_to(
+            ped_traj[None], (cfg.horizon,) + ped_traj.shape)
+    stage = functools.partial(_stage_cost, wc, w8, goal, ped_traj,
                               ped_r, dt)
     term = functools.partial(_terminal_cost, wc, w8, goal)
     dyn = lambda x, u: smooth_step(x, u, dt)
@@ -171,11 +175,11 @@ def ilqr_solve(
 
 
 def batched_ilqr(x0s, goals, us_inits, wc: WorldCost,
-                 ped_pos, ped_vel, ped_r,
+                 ped_traj, ped_r,
                  cfg: IlqrConfig, w8: CostWeights = CostWeights(),
                  dt: float = 0.4):
-    """vmap over robots sharing a world."""
+    """vmap over robots sharing a world (and one ped prediction)."""
     return jax.vmap(
         lambda x0, g, u0: ilqr_solve(
-            x0, g, u0, wc, ped_pos, ped_vel, ped_r, cfg, w8, dt)
+            x0, g, u0, wc, ped_traj, ped_r, cfg, w8, dt)
     )(x0s, goals, us_inits)

@@ -50,7 +50,7 @@ def _rollout_costs(
     pose, vw0, vw1, goal,
     wc: WorldCost, w8: CostWeights,
     limiter_v: LimiterParams, limiter_w: LimiterParams,
-    ped_pos, ped_vel, ped_r,
+    ped_traj, ped_r,         # [H,M,2] predicted ped positions (any head)
     dt: float, omni: bool,
 ):
     k = actions.shape[0]
@@ -59,8 +59,8 @@ def _rollout_costs(
     vw1 = jnp.broadcast_to(vw1, (k, 2))
 
     def body(carry, xs):
-        pose, vw0, vw1, acc, t = carry
-        act = xs                                        # [K,2]
+        pose, vw0, vw1, acc = carry
+        act, ped_t = xs                                 # [K,2], [M,2]
         v = limit_command(limiter_v, act[:, 0], vw0[:, 0], vw1[:, 0], dt)
         w = limit_command(limiter_w, act[:, 1], vw0[:, 1], vw1[:, 1], dt)
         new_pose = jax.vmap(
@@ -68,14 +68,14 @@ def _rollout_costs(
         )(pose, v, w)
         c = stage_cost(
             wc, w8, new_pose[:, :2], goal, v, w, vw0[:, 0], vw0[:, 1],
-            jnp.full((k,), t), ped_pos, ped_vel, ped_r, dt,
+            ped_t, ped_r,
         )
         new_vw0 = jnp.stack([v, w], -1)
-        return (new_pose, new_vw0, vw0, acc + c, t + 1), None
+        return (new_pose, new_vw0, vw0, acc + c), None
 
-    init = (pose0, vw0, vw1, jnp.zeros((k,)), jnp.asarray(0, jnp.int32))
-    (posef, _, _, acc, _), _ = jax.lax.scan(
-        body, init, jnp.swapaxes(actions, 0, 1)
+    init = (pose0, vw0, vw1, jnp.zeros((k,)))
+    (posef, _, _, acc), _ = jax.lax.scan(
+        body, init, (jnp.swapaxes(actions, 0, 1), ped_traj)
     )
     return acc + terminal_cost(wc, w8, posef[:, :2], goal)
 
@@ -85,11 +85,13 @@ def mppi_plan(
     pose, vw0, vw1, goal,
     wc: WorldCost,
     limiter_v: LimiterParams, limiter_w: LimiterParams,
-    ped_pos, ped_vel, ped_r,
+    ped_traj, ped_r,
     cfg: MppiConfig, w8: CostWeights = CostWeights(),
     dt: float = 0.4, omni: bool = False,
 ):
-    """One MPPI solve for a single robot. Returns (action [2], new state)."""
+    """One MPPI solve for a single robot. Returns (action [2], new state).
+
+    ped_traj: [H,M,2] predicted ped positions (mpc/prediction.py heads)."""
     h, kk = cfg.horizon, cfg.samples
     sigma = jnp.asarray([cfg.sigma_v, cfg.sigma_w])
     noise = jax.random.normal(key, (kk, h, 2)) * sigma
@@ -100,7 +102,7 @@ def mppi_plan(
 
     costs = _rollout_costs(
         cand, pose, vw0, vw1, goal, wc, w8,
-        limiter_v, limiter_w, ped_pos, ped_vel, ped_r, dt, omni,
+        limiter_v, limiter_w, ped_traj, ped_r, dt, omni,
     )
     beta = jnp.min(costs)
     wts = jax.nn.softmax(-(costs - beta) / cfg.lam)
@@ -116,7 +118,7 @@ def cem_plan(
     pose, vw0, vw1, goal,
     wc: WorldCost,
     limiter_v: LimiterParams, limiter_w: LimiterParams,
-    ped_pos, ped_vel, ped_r,
+    ped_traj, ped_r,
     cfg: MppiConfig, w8: CostWeights = CostWeights(),
     dt: float = 0.4, omni: bool = False,
 ):
@@ -130,7 +132,7 @@ def cem_plan(
         cand = jnp.clip(cand, lo, hi)
         costs = _rollout_costs(
             cand, pose, vw0, vw1, goal, wc, w8,
-            limiter_v, limiter_w, ped_pos, ped_vel, ped_r, dt, omni,
+            limiter_v, limiter_w, ped_traj, ped_r, dt, omni,
         )
         _, idx = jax.lax.top_k(-costs, cfg.elites)
         elite = cand[idx]                       # [E,H,2]
@@ -150,7 +152,7 @@ def cem_plan(
 def batched_mppi(
     keys, ps_nominal, poses, vw0, vw1, goals,
     wc: WorldCost, limiter_v, limiter_w,
-    ped_pos, ped_vel, ped_r, cfg: MppiConfig,
+    ped_traj, ped_r, cfg: MppiConfig,
     w8: CostWeights = CostWeights(), dt: float = 0.4, omni: bool = False,
 ):
     """vmap MPPI over N robots sharing one world. Returns ([N,2], [N,H,2], [N])."""
@@ -158,7 +160,7 @@ def batched_mppi(
     def one(key, nom, pose, a0, a1, goal):
         act, st, c = mppi_plan(
             key, PlannerState(nom), pose, a0, a1, goal, wc,
-            limiter_v, limiter_w, ped_pos, ped_vel, ped_r, cfg, w8, dt, omni,
+            limiter_v, limiter_w, ped_traj, ped_r, cfg, w8, dt, omni,
         )
         return act, st.nominal, c
 

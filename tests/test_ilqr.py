@@ -43,7 +43,8 @@ def test_ilqr_reaches_goal():
     us0 = jnp.zeros((20, 2)).at[:, 0].set(0.3)
     peds = jnp.zeros((0, 2))
     us, xs, cost = jax.jit(
-        lambda: ilqr_solve(x0, goal, us0, wc, peds, peds, jnp.zeros((0,)),
+        lambda: ilqr_solve(x0, goal, us0, wc,
+                           jnp.zeros((cfg.horizon, 0, 2)), jnp.zeros((0,)),
                            cfg, CostWeights(), dt=0.4))()
     # The plan must pass through the arrival radius (0.3 m): the sim latches
     # arrival there, and receding-horizon replanning discards the tail.
@@ -67,7 +68,8 @@ def test_ilqr_avoids_wall():
     goal = jnp.asarray([6.5, 4.0])
     us0 = jnp.zeros((24, 2)).at[:, 0].set(0.4)
     peds = jnp.zeros((0, 2))
-    us, xs, cost = ilqr_solve(x0, goal, us0, wc, peds, peds, jnp.zeros((0,)),
+    us, xs, cost = ilqr_solve(x0, goal, us0, wc,
+                              jnp.zeros((cfg.horizon, 0, 2)), jnp.zeros((0,)),
                               cfg, CostWeights(), dt=0.4)
     from img_env_tpu.mpc.cost import static_distance
 
@@ -82,9 +84,10 @@ def test_ilqr_improves_cost_monotone_start_end():
     goal = jnp.asarray([3.0, 1.0])
     us0 = jnp.zeros((12, 2))
     peds = jnp.zeros((0, 2))
-    _, xs0, _ = ilqr_solve(x0, goal, us0, wc, peds, peds, jnp.zeros((0,)),
+    zt = jnp.zeros((12, 0, 2))
+    _, xs0, _ = ilqr_solve(x0, goal, us0, wc, zt, jnp.zeros((0,)),
                            IlqrConfig(horizon=12, iters=0), CostWeights())
-    _, xs1, _ = ilqr_solve(x0, goal, us0, wc, peds, peds, jnp.zeros((0,)),
+    _, xs1, _ = ilqr_solve(x0, goal, us0, wc, zt, jnp.zeros((0,)),
                            cfg, CostWeights())
     d0 = float(jnp.linalg.norm(xs0[-1, :2] - goal))
     d1 = float(jnp.linalg.norm(xs1[-1, :2] - goal))

@@ -83,7 +83,7 @@ def test_mppi_progresses_toward_goal():
         key, k = jax.random.split(key)
         act, ps, _ = mppi_plan(
             k, ps, pose, vw, vw, goal, wc, lv, lw,
-            peds, peds, jnp.zeros((0,)), cfg, CostWeights(), dt=0.4)
+            jnp.zeros((cfg.horizon, 0, 2)), jnp.zeros((0,)), cfg, CostWeights(), dt=0.4)
         from img_env_tpu.dynamics.kinematics import _exact_pose_update
         pose = _exact_pose_update(pose, act[0], act[1], 0.0, 0.4, False)
         vw = act
@@ -116,7 +116,7 @@ def test_mppi_avoids_obstacle():
         key, k = jax.random.split(key)
         act, ps, _ = mppi_plan(
             k, ps, pose, vw, vw, goal, wc, lv, lw,
-            peds, peds, jnp.zeros((0,)), cfg, CostWeights(), dt=0.4)
+            jnp.zeros((cfg.horizon, 0, 2)), jnp.zeros((0,)), cfg, CostWeights(), dt=0.4)
         pose = _exact_pose_update(pose, act[0], act[1], 0.0, 0.4, False)
         vw = act
         clear = float(static_distance(wc, pose[:2]))
@@ -134,7 +134,7 @@ def test_cem_runs():
     act, ps2, cost = cem_plan(
         jax.random.PRNGKey(0), ps, jnp.asarray([1.0, 1.0, 0.0]),
         jnp.zeros((2,)), jnp.zeros((2,)), jnp.asarray([3.0, 1.0]),
-        wc, lv, lw, jnp.zeros((0, 2)), jnp.zeros((0, 2)), jnp.zeros((0,)),
+        wc, lv, lw, jnp.zeros((cfg.horizon, 0, 2)), jnp.zeros((0,)),
         cfg)
     assert act.shape == (2,)
     assert np.isfinite(float(cost))
