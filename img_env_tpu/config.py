@@ -224,6 +224,9 @@ class EnvConfig:
     # --- TPU-engine extensions ----------------------------------------------
     num_scenes: int = 1               # batched scenes per program instance
     sensor_mode: str = "parity"       # 'parity' | 'fast' | 'reference'
+    fill_mode: str = "auto"           # FOV-fill backend: 'auto' (Pallas
+                                      #   matmul kernel on TPU, XLA gather on
+                                      #   CPU) | 'gather' | 'pallas'
     fast_sensor_scale: int = 3        # 'fast': view grid coarsened 3x (9x
                                       #   fewer gathers; lasers quantized to
                                       #   scale*view_resolution)
@@ -286,7 +289,7 @@ class EnvConfig:
             "discrete_action", "use_laser", "range_total",
             "view_angle_begin", "view_angle_end", "view_min_dist",
             "view_max_dist", "beep_r", "ped_ca_p", "relation_ped_robo",
-            "target_min_dist", "num_scenes", "sensor_mode",
+            "target_min_dist", "num_scenes", "sensor_mode", "fill_mode",
             "fast_sensor_scale", "max_obs_segments", "reset_trials", "map_dir",
         ]
         for f in simple_fields:

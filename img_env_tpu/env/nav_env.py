@@ -240,6 +240,13 @@ class NavEnv:
             polar_mod.make_tables(self.statics.polar)
             if cfg.sensor_mode != "reference" else None
         )
+        # FOV-fill backend: the Pallas matmul kernel replaces XLA's scalar
+        # gather (~570 ms -> MXU work at 200 robots); 'auto' keeps the plain
+        # gather on CPU where the x64 parity tests run.
+        self.fill_pallas = (
+            cfg.fill_mode == "pallas"
+            or (cfg.fill_mode == "auto" and jax.default_backend() != "cpu")
+        )
         self._reset = jax.jit(self.reset_fn) if jit else self.reset_fn
         self._step = jax.jit(self.step_fn) if jit else self.step_fn
 
@@ -569,31 +576,35 @@ class NavEnv:
             layers, state.robots.collision, state.robots.arrive
         )
 
-        own_maps, own_orig = raster.own_local_maps(
-            layers.robot_cells, layers.robot_cells_valid
-        )
         vp = st.view_params
+        rid1 = jnp.arange(1, n + 1, dtype=jnp.int32)
         if cfg.sensor_mode == "reference":
             # per-robot gather path (kept for cross-checking; slower)
             vs = st.view_statics
             render = jax.vmap(
-                lambda pose, om, oo, vc, vm: render_robot_view(
-                    layers, st.resolution, pose, om, oo, vc, vm, vs, vp
+                lambda pose, rid, vc, vm: render_robot_view(
+                    layers, st.resolution, pose, rid, vc, vm, vs, vp
                 )
             )
             views, hits, angular = render(
-                state.robots.pose, own_maps, own_orig,
+                state.robots.pose, rid1,
                 jnp.asarray(st.own_view_cells), jnp.asarray(st.own_view_valid),
             )
             sensor_maps = sensor_map_from_view(views, tuple(cfg.image_size))
         else:
-            # matmul pipeline (ops/polar.py): one gather + MXU raycast/shadow
+            # matmul pipeline (ops/polar.py): one fill + MXU raycast/shadow
             ps = st.polar
             t = sensor_tables  # device tables as jit args (never baked)
-            occ = polar_mod.fill_sorted(
-                ps, layers.packed, st.resolution, state.robots.pose,
-                own_maps, own_orig, t=t,
-            )
+            if self.fill_pallas:
+                from img_env_tpu.ops.pallas_fill import fill_sorted_pallas
+
+                occ = fill_sorted_pallas(
+                    ps, layers.packed, st.resolution, state.robots.pose, t=t,
+                )
+            else:
+                occ = polar_mod.fill_sorted(
+                    ps, layers.packed, st.resolution, state.robots.pose, t=t,
+                )
             if vp.use_laser:
                 hits, angular = polar_mod.raycast_batched(ps, occ, t=t)
                 vals = polar_mod.shadow_values_sorted(ps, occ, hits, t=t)

@@ -1,0 +1,237 @@
+"""Pallas TPU kernel: the pose-dependent FOV fill as block-slice + matmuls.
+
+The egocentric fill gathers one world-map cell per view pixel at a
+pose-dependent rotated/translated location.  XLA lowers that to a scalar
+gather (~400 ms for 200 robots x 166k slots, measured with forced fetches —
+benchmarks/fill_bench.py).  This kernel exploits the sorted layout's
+structure instead:
+
+  * slots are ordered (radial chunk, angle) with connected arcs padded to
+    ``fill_window`` boundaries — see PolarStatics.build — so any aligned
+    fill window covers one short arc of a thin ring whose DIAMETER is
+    pose-independent (``ps.max_window_diam``).  All its cells fit one small
+    [BM, BN] map block whose corner is the window's min cell.
+  * the per-robot occupancy decode (id-packed map -> 0/1, raster.py
+    encoding) runs ONCE per robot over the whole VMEM-resident map, so
+    block values are exact 0/1 in bf16.
+  * within the block, "gather" is a one-hot MXU contraction plus a one-hot
+    select:
+        tmp[j, :] = onehotA[j, a_j] @ occ01_block      # [FW, BN] matmul
+        out[j]    = sum_b (lane == b_j) * tmp[j, b]    # [FW] select
+
+Per robot: windows x (FW x BM x BN) MACs — ~1 TFLOP of bf16 MXU work at
+the bench200 scale instead of ~400 ms of scalar gathers.
+
+Out-of-map view pixels produce garbage block reads; the caller masks them
+with the (cheap, vectorized) inside test, exactly as the XLA path does.
+Reference semantics: agent.cpp:356-404 (view fill), img_env.cpp:620-629
+(other-robots-only presence).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _block_dims(ps, res: float):
+    """(BM, BN) covering any fill window at map resolution ``res``.
+
+    The corner is aligned down (8 sublanes / 128 lanes) and the map padded
+    to (8, 128) multiples, so alignment never pushes in-map offsets out of
+    the block (see fill_values_pallas).
+    """
+    span = int(np.ceil(ps.max_window_diam / res)) + 2
+    bm = (span + 8 + 7) // 8 * 8
+    bn = (span + 128 + 127) // 128 * 128
+    return bm, bn
+
+
+WIN_PER_STEP = 8   # fill windows per grid step (8-sublane-aligned blocks)
+
+
+def _fill_kernel(pose_ref, gated_ref, pixx_ref, pixy_ref, map_ref, out_ref,
+                 occ_ref, *,
+                 res: float, h: int, w: int, fw: int, bm: int, bn: int):
+    r = pl.program_id(0)
+    j = pl.program_id(1)
+    c = pose_ref[r * 4 + 0]
+    s = pose_ref[r * 4 + 1]
+    px = pose_ref[r * 4 + 2]
+    py = pose_ref[r * 4 + 3]
+
+    # Once per robot: occupancy decode over the whole map (raster.py
+    # packing): occupied = static|ped, or >=2 robots, or 1 robot that is
+    # not me.  The map travels as int16 (id <= 4095) to halve VMEM.
+    @pl.when(pl.program_id(1) == 0)
+    def _decode():
+        v = map_ref[:, :].astype(jnp.int32)
+        rid = r + 1
+        occ = ((v & 1) > 0) | (((v >> 1) & 3) >= 2) | \
+              ((((v >> 1) & 3) == 1) & ((v >> 3) != rid))
+        occ_ref[:, :] = occ.astype(jnp.bfloat16)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (fw, bm), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (fw, bn), 1)
+
+    def window(k):
+        # consumers only read ``occ & gates`` — skip out-of-FOV windows
+        @pl.when(gated_ref[j * WIN_PER_STEP + k] == 0)
+        def _skip():
+            out_ref[k, :] = jnp.zeros((fw,), jnp.int32)
+
+        @pl.when(gated_ref[j * WIN_PER_STEP + k] != 0)
+        def _fill():
+            _window_body(k)
+
+    def _window_body(k):
+        bx = pixx_ref[k, :]                                   # [FW]
+        by = pixy_ref[k, :]
+        wx = c * bx - s * by + px
+        wy = s * bx + c * by + py
+        # round-half-away (grid_map.cpp:40-44)
+        fm = wx / res
+        fn = wy / res
+        cm = jnp.where(fm >= 0, jnp.floor(fm + 0.5), jnp.ceil(fm - 0.5)).astype(jnp.int32)
+        cn = jnp.where(fn >= 0, jnp.floor(fn + 0.5), jnp.ceil(fn - 0.5)).astype(jnp.int32)
+        # block corner from VALID (non-dead) pixels only: dead slots carry
+        # coords ~1e6 that would poison the min.  Aligned down (Mosaic needs
+        # tile-aligned dynamic slices); in-map cells keep in-block offsets
+        # because bm/bn include the span + alignment slack.
+        valid = bx < 1e5
+        big = jnp.int32(2 ** 30)
+        m0 = (jnp.clip(jnp.min(jnp.where(valid, cm, big)), 0, h - bm) // 8) * 8
+        n0 = (jnp.clip(jnp.min(jnp.where(valid, cn, big)), 0, w - bn) // 128) * 128
+        a = jnp.clip(cm - m0, 0, bm - 1)
+        b = jnp.clip(cn - n0, 0, bn - 1)
+
+        block = occ_ref[pl.ds(pl.multiple_of(m0, 8), bm),
+                        pl.ds(pl.multiple_of(n0, 128), bn)]   # [BM, BN] bf16
+        one_a = (sub == a[:, None]).astype(jnp.bfloat16)      # [FW, BM]
+        tmp = jax.lax.dot_general(
+            one_a, block,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [FW, BN]
+        sel = jnp.where(lane == b[:, None], tmp, 0.0)
+        vals = jnp.sum(sel, axis=1)                           # [FW]
+        out_ref[k, :] = (vals > 0.5).astype(jnp.int32)
+
+    # Python-unrolled: the windows are independent, and straight-line code
+    # lets Mosaic overlap one window's MXU contraction with the next one's
+    # VPU coordinate math (a fori_loop body is scheduled as one serial
+    # latency chain per iteration).
+    for k in range(WIN_PER_STEP):
+        window(k)
+
+
+@functools.partial(jax.jit, static_argnames=("res", "fw", "bm", "bn",
+                                             "interpret"))
+def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, window_gated, *,
+                       res: float, fw: int, bm: int, bn: int,
+                       interpret: bool = False):
+    """[N, P'] 0/1 gated occupancy (self excluded) at each robot's pixels.
+
+    packed_map_i16: [H, W] int16 id-packed map (prepare_map: H multiple of
+    8, W multiple of 128, H >= bm, W >= bn).  poses: [N, 3].  pix_x/pix_y:
+    [P'] f32 base-frame pixel coords in (chunk, gated, angle) sorted order
+    with connected arcs padded to ``fw`` slots (PolarStatics.build
+    fill_window).  window_gated: [P'/fw] int32; ungated windows are zeroed
+    without computing (their occupancy is never read through the gates).
+    Out-of-map pixels of gated windows are garbage — callers apply the
+    inside mask.
+    """
+    h, w = packed_map_i16.shape
+    n = poses.shape[0]
+    p0 = pix_x.shape[0]
+    pad = (-p0) % (fw * WIN_PER_STEP)
+    if pad:
+        pix_x = jnp.concatenate([pix_x, jnp.full((pad,), 1e6, pix_x.dtype)])
+        pix_y = jnp.concatenate([pix_y, jnp.full((pad,), 1e6, pix_y.dtype)])
+        window_gated = jnp.concatenate(
+            [window_gated, jnp.zeros((pad // fw,), window_gated.dtype)])
+    p = p0 + pad
+    windows = p // fw
+    steps = windows // WIN_PER_STEP
+    pose_flat = jnp.stack(
+        [jnp.cos(poses[:, 2]), jnp.sin(poses[:, 2]),
+         poses[:, 0], poses[:, 1]], axis=-1).astype(jnp.float32).reshape(-1)
+    pixx2 = pix_x.reshape(windows, fw).astype(jnp.float32)
+    pixy2 = pix_y.reshape(windows, fw).astype(jnp.float32)
+
+    kern = functools.partial(_fill_kernel, res=res, h=h, w=w, fw=fw,
+                             bm=bm, bn=bn)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n, steps),
+        in_specs=[
+            pl.BlockSpec((WIN_PER_STEP, fw), lambda i, j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WIN_PER_STEP, fw), lambda i, j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((WIN_PER_STEP, fw),
+                               lambda i, j, *_: (i * steps + j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((h, w), jnp.bfloat16)],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n * windows, fw), jnp.int32),
+        interpret=interpret,
+    )(pose_flat, window_gated.astype(jnp.int32), pixx2, pixy2,
+      packed_map_i16)
+    return out.reshape(n, p)[:, :p0]
+
+
+def prepare_map(packed_map_i32, bm: int, bn: int) -> jnp.ndarray:
+    """Pad the id-packed map to kernel-friendly int16 [H8 >= bm, W128 >= bn]."""
+    h, w = packed_map_i32.shape
+    h2 = max((h + 7) // 8 * 8, bm)
+    w2 = max((w + 127) // 128 * 128, bn)
+    out = jnp.zeros((h2, w2), jnp.int16)
+    return out.at[:h, :w].set(packed_map_i32.astype(jnp.int16))
+
+
+def fill_sorted_pallas(ps, packed_map, resolution, poses, t=None,
+                       interpret=False):
+    """Drop-in for ops/polar.fill_sorted using the Pallas matmul kernel.
+
+    Returns [N, P'] boolean GATED occupancy (self excluded): equal to
+    ``polar.fill_sorted(...) & ps.gates_sorted`` up to f32-vs-f64 coordinate
+    rounding at cell borders.  Every consumer (raycast/shadow/plain) reads
+    occupancy through the gates, so the gating is free information.
+    """
+    from img_env_tpu.ops.raster import round_half_away
+
+    h, w = packed_map.shape
+    n = poses.shape[0]
+    if n >= 4096:
+        raise ValueError("id-packed int16 map supports at most 4095 robots")
+    bm, bn = _block_dims(ps, float(resolution))
+    bx = (t.pix_x if t is not None else jnp.asarray(ps.pix_x_sorted)).astype(jnp.float32)
+    by = (t.pix_y if t is not None else jnp.asarray(ps.pix_y_sorted)).astype(jnp.float32)
+    big = prepare_map(packed_map, bm, bn)
+    occ = fill_values_pallas(big, poses.astype(jnp.float32), bx, by,
+                             jnp.asarray(ps.window_gated, jnp.int32),
+                             res=float(resolution), fw=int(ps.fill_window),
+                             bm=bm, bn=bn, interpret=interpret)
+
+    def inside_mask(pose):
+        c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+        wx = c * bx - s * by + pose[0]
+        wy = s * bx + c * by + pose[1]
+        cm = round_half_away(wx / resolution).astype(jnp.int32)
+        cn = round_half_away(wy / resolution).astype(jnp.int32)
+        return (cm >= 0) & (cm < h) & (cn >= 0) & (cn < w)
+
+    inside = jax.vmap(inside_mask)(poses.astype(jnp.float32))
+    return (occ > 0) & inside

@@ -78,6 +78,7 @@ class PolarStatics(NamedTuple):
 
     # sorted pixel layout ----------------------------------------------------
     perm: np.ndarray            # [P] image-flat index of sorted slot p
+    slot_of_pixel: np.ndarray   # [hpx*wpx] int32 inverse of perm
     n_slots: int                # P' = padded sorted length (multiple of 128)
     pix_x_sorted: np.ndarray    # [P'] base-frame pixel coords (pad -> dead)
     pix_y_sorted: np.ndarray
@@ -94,11 +95,14 @@ class PolarStatics(NamedTuple):
     # resize -----------------------------------------------------------------
     resize_pos: np.ndarray      # [48*48, 16] int32 sorted slots
     resize_w: np.ndarray        # [48*48, 16] f32 cubic weights
+    fill_window: int            # slot alignment of the Pallas fill windows
+    window_gated: np.ndarray    # [n_slots/fill_window] bool: any in-FOV pixel
+    max_window_diam: float      # max diameter (m) of any gated fill window
     params: ViewParams
 
     @staticmethod
     def build(p: ViewParams, sensor_base=(0.0, 0.0), image_size=(48, 48),
-              n_chunks: int = 48) -> "PolarStatics":
+              n_chunks: int = 48, fill_window: int = 512) -> "PolarStatics":
         hpx, wpx = p.hpx, p.wpx
         P = hpx * wpx
         ls = LaserStatics.build(p, sensor_base)
@@ -116,29 +120,57 @@ class PolarStatics(NamedTuple):
                                     n_chunks - 1).reshape(-1)
 
         # --- sorted layout, chunk slices padded to 128 -----------------------
-        order = np.argsort(chunk_of_pixel, kind="stable")
+        # Within a radial chunk, pixels are ordered by ANGLE around the
+        # sensor: any 128 consecutive slots then form a short arc of a thin
+        # ring, so the whole window fits a small map block whatever the
+        # robot's pose (the window's diameter is rotation-invariant).  The
+        # Pallas fill kernel (ops/pallas_fill.py) depends on this bound;
+        # every other consumer only requires *some* consistent permutation.
+        ang_of_pixel = np.arctan2(jj - oy, ii - ox).reshape(-1)
+        # Gated (in-FOV) pixels sort first within each chunk: consumers only
+        # ever read ``occ & gates`` (raycast/shadow/plain), so the Pallas
+        # fill skips whole ungated windows — roughly half the fill work for
+        # a pi-FOV sensor.
+        ungated = np.logical_not(vs.gates.reshape(-1))
+        order = np.lexsort((ang_of_pixel, ungated, chunk_of_pixel))
         sorted_chunks = chunk_of_pixel[order]
         counts = np.bincount(sorted_chunks, minlength=n_chunks)
+        # The square view clips outer rings into several disconnected arcs;
+        # a fill window straddling two arcs would have a huge diameter.
+        # Split each chunk at spatial gaps and pad every connected segment
+        # to a ``fill_window``-slot boundary, so aligned windows never cross
+        # a gap (costs a few % of dead slots, keeps the fill blocks small).
+        gap = max(2.0 * band, 8.0 * p.resolution)
+        fw = max(fill_window, 128)
+        xf, yf = xb.reshape(-1), yb.reshape(-1)
         lo_list, hi_list = [], []
-        slot_of_pixel = np.empty(P, np.int64)
-        slots = []
+        slot_of_pixel = np.full(P, -1, np.int64)
         pos = 0
         start = 0
         for c in range(n_chunks):
             lc = int(counts[c])
-            lo_list.append(pos)
             idxs = order[start:start + lc]
-            slot_of_pixel[idxs] = pos + np.arange(lc)
-            slots.append(idxs)
-            pos += _round_up(max(lc, 1), 128)
-            hi_list.append(lo_list[-1] + _round_up(max(lc, 1), 128))
+            lo_list.append(pos)
+            if lc:
+                d = np.hypot(np.diff(xf[idxs]), np.diff(yf[idxs]))
+                gate_edge = ungated[idxs][1:] != ungated[idxs][:-1]
+                breaks = np.nonzero((d > gap) | gate_edge)[0] + 1
+                bounds = [0, *breaks.tolist(), lc]
+            else:
+                bounds = [0, 0]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                seg = idxs[a:b]
+                slot_of_pixel[seg] = pos + np.arange(len(seg))
+                pos += _round_up(max(len(seg), 1), fw)
+            hi_list.append(pos)
             start += lc
-        n_slots = _round_up(pos + 1, 128)  # +1 dead slot
+        n_slots = _round_up(pos + 1, fw)  # +1 dead slot
 
         perm = np.full(n_slots, -1, np.int64)
-        for c in range(n_chunks):
-            perm[lo_list[c]:lo_list[c] + len(slots[c])] = slots[c]
+        live_pix = np.nonzero(slot_of_pixel >= 0)[0]
+        perm[slot_of_pixel[live_pix]] = live_pix
         dead = perm < 0
+        slot_of_pixel = np.where(slot_of_pixel < 0, n_slots - 1, slot_of_pixel)
 
         flat = lambda a: a.reshape(-1)
         px = np.where(dead, 1e6, flat(xb)[np.maximum(perm, 0)])
@@ -148,6 +180,26 @@ class PolarStatics(NamedTuple):
         beam = flat(vs.pix_beam)[np.maximum(perm, 0)]
         onehot = np.zeros((n_slots, p.range_total), np.float32)
         onehot[np.arange(n_slots)[~dead], beam[~dead]] = 1.0
+
+        # --- fill windows: gated flags + max diameter (for the Pallas fill) --
+        # Segments are fw-padded and never mix gated with ungated pixels, so
+        # each aligned fw-slot window is skippable as a whole; a gated
+        # window lies in one connected arc of one radial chunk and its
+        # point-set diameter bounds the world-cell span under ANY pose
+        # rotation.  Exact pairwise max over gated windows only.
+        pxw = px.reshape(-1, fw)
+        pyw = py.reshape(-1, fw)
+        alive_w = ~dead.reshape(-1, fw)
+        window_gated = gates.reshape(-1, fw).any(axis=1)
+        max_diam = 0.0
+        for wi in range(pxw.shape[0]):
+            a = alive_w[wi]
+            if not (window_gated[wi] and a.any()):
+                continue
+            xs, ys = pxw[wi][a], pyw[wi][a]
+            dx = xs[:, None] - xs[None, :]
+            dy = ys[:, None] - ys[None, :]
+            max_diam = max(max_diam, float(np.sqrt(dx * dx + dy * dy).max()))
 
         # --- beam-sample incidence, truncated at first out-of-map ------------
         cells, valid = ls.cells, ls.valid            # [R,S,2], [R,S]
@@ -214,7 +266,8 @@ class PolarStatics(NamedTuple):
                        0, ANGULAR_MAP_SIZE - 1)
 
         return PolarStatics(
-            perm=perm, n_slots=n_slots,
+            perm=perm, slot_of_pixel=slot_of_pixel.astype(np.int32),
+            n_slots=n_slots,
             pix_x_sorted=px,
             pix_y_sorted=py,
             gates_sorted=gates, rho_sorted=rho_s,
@@ -224,6 +277,8 @@ class PolarStatics(NamedTuple):
             refine_pos=refine_pos, refine_dist=refine_dist,
             angular_bin=bins,
             resize_pos=ridx.astype(np.int32), resize_w=rw.astype(np.float32),
+            fill_window=fw, window_gated=window_gated,
+            max_window_diam=max_diam,
             params=p,
         )
 
@@ -251,20 +306,37 @@ def make_tables(ps: PolarStatics, device_put: bool = True) -> PolarTables:
     )
 
 
+def decode_packed(v, rid1):
+    """Occupancy from an id-packed cell value, excluding robot ``rid1``.
+
+    v: int32 packed cells (raster.build_layers encoding); rid1: 1-based id
+    of the viewing robot.  "Another robot covers the cell" is exact: a
+    count >= 2 always includes someone else; count == 1 is someone else iff
+    the stored id differs (the reference instead re-draws robots j != i
+    into a per-robot map copy, img_env.cpp:620-629).
+    """
+    static_occ = (v & 1) > 0
+    cnt = (v >> 1) & 3
+    vid = v >> 3
+    other = (cnt >= 2) | ((cnt == 1) & (vid != rid1))
+    return static_occ | other
+
+
 def fill_sorted(ps: PolarStatics, packed_map, resolution, poses,
-                own_locals, own_origins, t: PolarTables = None):
+                t: PolarTables = None):
     """[N, P'] occupancy in sorted order — ONE gather per robot.
 
-    Mirrors ops/view.gather_world_occupancy (packed map, self-exclusion via
-    the per-robot local footprint map), emitting annulus-sorted slots.
+    Mirrors ops/view.gather_world_occupancy (id-packed map, self-exclusion
+    by robot id — no second gather), emitting the sorted slot layout.
     """
     from img_env_tpu.ops.raster import round_half_away
 
     h, w = packed_map.shape
+    n = poses.shape[0]
     bx = t.pix_x if t is not None else jnp.asarray(ps.pix_x_sorted)
     by = t.pix_y if t is not None else jnp.asarray(ps.pix_y_sorted)
 
-    def one(pose, own_local, own_origin):
+    def one(pose, rid1):
         c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
         wx = c * bx - s * by + pose[0]
         wy = s * bx + c * by + pose[1]
@@ -272,19 +344,9 @@ def fill_sorted(ps: PolarStatics, packed_map, resolution, poses,
         cn = round_half_away(wy / resolution).astype(jnp.int32)
         inside = (cm >= 0) & (cm < h) & (cn >= 0) & (cn < w)
         v = packed_map[jnp.clip(cm, 0, h - 1), jnp.clip(cn, 0, w - 1)]
-        static_occ = (v & 1) > 0
-        rc = (v >> 1).astype(jnp.int32)
-        e = own_local.shape[0]
-        lm = cm - own_origin[0]
-        ln = cn - own_origin[1]
-        in_local = (lm >= 0) & (lm < e) & (ln >= 0) & (ln < e)
-        own = jnp.where(
-            in_local,
-            own_local[jnp.clip(lm, 0, e - 1), jnp.clip(ln, 0, e - 1)], False)
-        other = (rc - own.astype(rc.dtype)) > 0
-        return inside & (static_occ | other)
+        return inside & decode_packed(v, rid1)
 
-    return jax.vmap(one)(poses, own_locals, own_origins)
+    return jax.vmap(one)(poses, jnp.arange(1, n + 1, dtype=jnp.int32))
 
 
 def raycast_batched(ps: PolarStatics, occ_sorted, t: PolarTables = None):
@@ -405,8 +467,5 @@ def own_slots_from_cells(ps: PolarStatics, own_view_cells, own_view_valid):
     inb = ((cells[..., 0] >= 0) & (cells[..., 0] < p.hpx)
            & (cells[..., 1] >= 0) & (cells[..., 1] < p.wpx))
     flat = np.where(inb, cells[..., 0] * p.wpx + cells[..., 1], 0)
-    slot_of_pixel = np.full(p.hpx * p.wpx, ps.n_slots - 1, np.int64)
-    live = ps.perm >= 0
-    slot_of_pixel[ps.perm[live]] = np.nonzero(live)[0]
-    slots = np.where(inb & valid, slot_of_pixel[flat], ps.n_slots - 1)
+    slots = np.where(inb & valid, ps.slot_of_pixel[flat], ps.n_slots - 1)
     return slots.astype(np.int32), (valid & inb)

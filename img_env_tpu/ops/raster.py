@@ -10,8 +10,9 @@ expressed as layered boolean occupancy built once per scene per step:
   * ``ped layer`` — two bool maps: *strong* cells (right-leg stamps, which the
                     reference lets overwrite obstacle cells, agent.cpp:758-772)
                     and *weak* cells (left legs / circle peds, which do not).
-  * ``robot layer`` — a scatter-add count map; "another robot covers cell c
-                    from robot i's perspective" is ``count[c] - own_i[c] > 0``.
+  * ``robot layer`` — a deduplicated count map plus an id map; "another robot
+                    covers cell c from robot i's perspective" is
+                    ``count[c] >= 2 or (count[c] == 1 and id[c] != i)``.
 
 Collision codes replicate ``Agent::draw`` (agent.cpp:285-327): per footprint
 point the cell category is (0=obstacle, 1=ped, 2=robot in draw-priority order
@@ -99,6 +100,21 @@ def scatter_presence(cells, valid, shape_hw) -> jnp.ndarray:
     return buf[: h * w].reshape(h, w)
 
 
+def scatter_max_id(cells, valid, shape_hw) -> jnp.ndarray:
+    """int32 [H, W]: 1 + index of the highest-indexed agent covering a cell
+    (0 = no agent).  cells: [A, P, 2]; valid: [A, P]."""
+    h, w = shape_hw
+    flat, inside = _flat_idx(cells, shape_hw)
+    ids = jnp.broadcast_to(
+        jnp.arange(1, cells.shape[0] + 1, dtype=jnp.int32)[:, None], flat.shape
+    )
+    buf = jnp.zeros((h * w + 1,), jnp.int32)
+    buf = buf.at[flat.reshape(-1)].max(
+        jnp.where((valid & inside).reshape(-1), ids.reshape(-1), 0), mode="drop"
+    )
+    return buf[: h * w].reshape(h, w)
+
+
 def stamp_value(grid: jnp.ndarray, cells, valid, value: int) -> jnp.ndarray:
     """Write ``value`` into covered in-map cells of a uint8 grid."""
     h, w = grid.shape
@@ -133,9 +149,14 @@ class OccupancyLayers(NamedTuple):
     robot_count: jnp.ndarray    # [H,W] int32 robot footprint sample counts
     robot_cells: jnp.ndarray    # [N,P,2] int32 cells of each robot's samples
     robot_cells_valid: jnp.ndarray  # [N,P] bool
-    packed: jnp.ndarray         # [H,W] uint8: bit0 = obs|ped occupied,
-                                #  bits 1..7 = robot count (capped at 127) —
-                                #  the view fill reads ONE map instead of four
+    packed: jnp.ndarray         # [H,W] int32: bit0 = obs|ped occupied,
+                                #  bits 1..2 = robot count capped at 2,
+                                #  bits 3.. = 1 + id of one covering robot —
+                                #  the view fill reads ONE map instead of
+                                #  four, and self-exclusion needs no second
+                                #  (own-footprint) gather: another robot
+                                #  covers the cell iff count >= 2, or
+                                #  count == 1 with a different id
 
 
 def build_layers(
@@ -168,8 +189,10 @@ def build_layers(
     ped_strong = scatter_occupancy(world_to_cell(pr, resolution), ped_right_mask, hw)
 
     static_occ = (obs_map < CELL_FREE_MIN) | ped_strong | ped_weak
-    packed = (static_occ.astype(jnp.uint8)
-              + (jnp.minimum(robot_count, 127) << 1).astype(jnp.uint8))
+    robot_id = scatter_max_id(r_cells, robot_mask, hw)
+    packed = (static_occ.astype(jnp.int32)
+              | (jnp.minimum(robot_count, 2) << 1)
+              | (robot_id << 3))
 
     return OccupancyLayers(
         obs_map=obs_map,
@@ -224,31 +247,6 @@ def _gather_map(grid: jnp.ndarray, cells, fill):
     )
     vals = grid[m, n]
     return jnp.where(inside, vals, fill), inside
-
-
-def own_local_maps(r_cells, r_valid, local_extent: int = 64):
-    """Per-robot local occupancy of the robot's *own* cells.
-
-    Returns (maps [N,E,E] bool, origins [N,2] int32).  Used to exclude a
-    robot's own footprint when it samples the shared robot-count map (the
-    reference instead draws only robots j != i into robot i's map copy,
-    img_env.cpp:620-629).
-    """
-
-    def one(cells, valid):
-        origin = jnp.min(jnp.where(valid[:, None], cells, 10**8), axis=0)
-        loc = cells - origin
-        ok = (
-            valid
-            & (loc[:, 0] >= 0) & (loc[:, 0] < local_extent)
-            & (loc[:, 1] >= 0) & (loc[:, 1] < local_extent)
-        )
-        flat = jnp.where(ok, loc[:, 0] * local_extent + loc[:, 1], local_extent**2)
-        buf = jnp.zeros((local_extent**2 + 1,), jnp.int32)
-        buf = buf.at[flat].max(jnp.where(ok, 1, 0), mode="drop")
-        return buf[: local_extent**2].reshape(local_extent, local_extent).astype(bool), origin
-
-    return jax.vmap(one)(r_cells, r_valid)
 
 
 def collision_codes(

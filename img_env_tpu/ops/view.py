@@ -143,14 +143,17 @@ def gather_world_occupancy(
     pose,                 # [3] robot world pose
     pix_base_x,           # [hpx,wpx] static base-frame pixel coords
     pix_base_y,
-    own_local,            # [E,E] bool own-footprint local stamp
-    own_origin,           # [2] int32 cell origin of own_local
+    robot_id1,            # scalar int32: 1-based id of the viewing robot
 ):
     """Composed occupancy (cell value < 250) per view pixel, excluding self.
 
-    ONE gather from the packed uint8 map (bit0 = static/ped occupied,
-    bits 1..7 = robot count) instead of four separate map gathers — the view
-    fill is gather-bound on TPU, so this is a direct 4x on the hot load.
+    ONE gather from the id-packed int32 map (raster.build_layers encoding:
+    bit0 = static/ped occupied, bits 1..2 = robot count capped at 2,
+    bits 3.. = 1 + one covering robot's id) instead of four separate map
+    gathers — the view fill is gather-bound on TPU.  Self-exclusion by id
+    needs no second (own-footprint) gather: another robot covers a cell iff
+    count >= 2, or count == 1 with a different id (the reference instead
+    draws only robots j != i into robot i's map copy, img_env.cpp:620-629).
     """
     c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
     wx = c * pix_base_x - s * pix_base_y + pose[0]
@@ -164,16 +167,9 @@ def gather_world_occupancy(
 
     packed = layers.packed[cmc, cnc]
     static_occ = (packed & 1) > 0
-    rc = (packed >> 1).astype(jnp.int32)
-
-    e = own_local.shape[0]
-    lm = cm - own_origin[0]
-    ln = cn - own_origin[1]
-    in_local = (lm >= 0) & (lm < e) & (ln >= 0) & (ln < e)
-    own = jnp.where(
-        in_local, own_local[jnp.clip(lm, 0, e - 1), jnp.clip(ln, 0, e - 1)], False
-    )
-    other_robot = (rc - own.astype(rc.dtype)) > 0
+    cnt = (packed >> 1) & 3
+    vid = packed >> 3
+    other_robot = (cnt >= 2) | ((cnt == 1) & (vid != robot_id1))
 
     return inside & (static_occ | other_robot), inside
 
@@ -316,8 +312,7 @@ def render_robot_view(
     layers: OccupancyLayers,
     resolution: float,
     pose,
-    own_local,
-    own_origin,
+    robot_id1,           # scalar int32: 1-based id of this robot
     own_view_cells,      # [P,2] int32 own footprint cells in *view* pixel space
     own_view_valid,      # [P]
     vs: ViewStatics,
@@ -327,7 +322,7 @@ def render_robot_view(
     occ, _ = gather_world_occupancy(
         layers, resolution, pose,
         jnp.asarray(vs.pix_base_x), jnp.asarray(vs.pix_base_y),
-        own_local, own_origin,
+        robot_id1,
     )
     gates = jnp.asarray(vs.gates)
     source_occ = gates & occ     # cells the reference writes 0 into

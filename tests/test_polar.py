@@ -26,21 +26,18 @@ def _both_paths(rng, n_rob=3, n_ped=2, n_obs=2, vp=VP):
     ps = polar.PolarStatics.build(vp, image_size=(48, 48), n_chunks=16)
     rob_poses = jnp.asarray(np.stack([p for p, _ in robots]))
     rob_pts, rob_msk = _pad([c for _, c in robots])
-    own_maps, own_orig = raster.own_local_maps(
-        layers.robot_cells, layers.robot_cells_valid)
 
     # reference gather path (validated bit-exact vs the NumPy oracle)
     ref = []
     for i in range(n_rob):
         vc, vm = own_view_cells(rob_pts[i], rob_msk[i], vp)
         view, hits, ang = render_robot_view(
-            layers, RES, rob_poses[i], own_maps[i], own_orig[i],
+            layers, RES, rob_poses[i], jnp.int32(i + 1),
             jnp.asarray(vc), jnp.asarray(vm), vs, vp)
         ref.append((np.asarray(view), np.asarray(hits), np.asarray(ang)))
 
     # new matmul path
-    occ = polar.fill_sorted(ps, layers.packed, RES, rob_poses,
-                            own_maps, own_orig)
+    occ = polar.fill_sorted(ps, layers.packed, RES, rob_poses)
     hits, ang = polar.raycast_batched(ps, occ)
     vals = polar.shadow_values_sorted(ps, occ, hits)
     own_slots = []
@@ -97,10 +94,7 @@ def test_no_laser_values(rng):
     vs = ViewStatics.build(vp)
     rob_poses = jnp.asarray(np.stack([p for p, _ in robots]))
     rob_pts, rob_msk = _pad([c for _, c in robots])
-    own_maps, own_orig = raster.own_local_maps(
-        layers.robot_cells, layers.robot_cells_valid)
-    occ = polar.fill_sorted(ps, layers.packed, RES, rob_poses,
-                            own_maps, own_orig)
+    occ = polar.fill_sorted(ps, layers.packed, RES, rob_poses)
     vals = polar.plain_values_sorted(ps, occ)
     slots, oks = [], []
     for i in range(2):
@@ -113,7 +107,7 @@ def test_no_laser_values(rng):
     for i in range(2):
         vc, vm = own_view_cells(rob_pts[i], rob_msk[i], vp)
         view, _, _ = render_robot_view(
-            layers, RES, rob_poses[i], own_maps[i], own_orig[i],
+            layers, RES, rob_poses[i], jnp.int32(i + 1),
             jnp.asarray(vc), jnp.asarray(vm), vs, vp)
         live = ps.perm >= 0
         np.testing.assert_array_equal(

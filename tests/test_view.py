@@ -37,15 +37,11 @@ def _run_tpu_views(static, obs, peds, robots, vp):
     from tests.test_raster import _pad
 
     rob_pts, rob_msk = _pad([c for _, c in robots])
-    own_maps, own_orig = raster.own_local_maps(
-        layers.robot_cells, layers.robot_cells_valid
-    )
     out = []
     for i in range(len(robots)):
         vc, vm = own_view_cells(rob_pts[i], rob_msk[i], vp)
         view, hits, ang = render_robot_view(
-            layers, RES, jnp.asarray(rob_poses[i]),
-            own_maps[i], own_orig[i],
+            layers, RES, jnp.asarray(rob_poses[i]), jnp.int32(i + 1),
             jnp.asarray(vc), jnp.asarray(vm), vs, vp,
         )
         out.append((np.asarray(view), np.asarray(hits), np.asarray(ang)))
