@@ -102,9 +102,14 @@ class PolarStatics(NamedTuple):
 
     @staticmethod
     def build(p: ViewParams, sensor_base=(0.0, 0.0), image_size=(48, 48),
-              n_chunks: int = 48, fill_window: int = 512) -> "PolarStatics":
+              n_chunks: int = 48, fill_window: int = None) -> "PolarStatics":
         hpx, wpx = p.hpx, p.wpx
         P = hpx * wpx
+        if fill_window is None:
+            # large views amortize per-window kernel latency with big
+            # windows; small views would drown in segment padding (each
+            # connected arc pads to a window boundary)
+            fill_window = 512 if P >= 100_000 else 128
         ls = LaserStatics.build(p, sensor_base)
         xb, yb = _pixel_base_coords(p)
         vs = ViewStatics.build(p, sensor_base)
