@@ -193,12 +193,16 @@ def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, window_gated, *,
 
 
 def prepare_map(packed_map_i32, bm: int, bn: int) -> jnp.ndarray:
-    """Pad the id-packed map to kernel-friendly int16 [H8 >= bm, W128 >= bn]."""
+    """Pad the id-packed map to kernel-friendly int16 [H8 >= bm, W128 >= bn].
+
+    Only the fill-relevant low 15 bits (occupancy, count, id) survive the
+    int16 narrowing; the collision-category bits 15..17 are masked off.
+    """
     h, w = packed_map_i32.shape
     h2 = max((h + 7) // 8 * 8, bm)
     w2 = max((w + 127) // 128 * 128, bn)
     out = jnp.zeros((h2, w2), jnp.int16)
-    return out.at[:h, :w].set(packed_map_i32.astype(jnp.int16))
+    return out.at[:h, :w].set((packed_map_i32 & 0x7FFF).astype(jnp.int16))
 
 
 def fill_sorted_pallas(ps, packed_map, resolution, poses, t=None,

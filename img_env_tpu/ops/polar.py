@@ -322,7 +322,7 @@ def decode_packed(v, rid1):
     """
     static_occ = (v & 1) > 0
     cnt = (v >> 1) & 3
-    vid = v >> 3
+    vid = (v >> 3) & 0xFFF
     other = (cnt >= 2) | ((cnt == 1) & (vid != rid1))
     return static_occ | other
 

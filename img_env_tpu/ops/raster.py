@@ -151,12 +151,14 @@ class OccupancyLayers(NamedTuple):
     robot_cells_valid: jnp.ndarray  # [N,P] bool
     packed: jnp.ndarray         # [H,W] int32: bit0 = obs|ped occupied,
                                 #  bits 1..2 = robot count capped at 2,
-                                #  bits 3.. = 1 + id of one covering robot —
-                                #  the view fill reads ONE map instead of
-                                #  four, and self-exclusion needs no second
-                                #  (own-footprint) gather: another robot
-                                #  covers the cell iff count >= 2, or
-                                #  count == 1 with a different id
+                                #  bits 3..14 = 1 + id of one covering robot
+                                #  (<= 4095 robots), bit15 = reads-as-ped,
+                                #  bit16 = reads-as-obstacle, bit17 = static
+                                #  value-2 alias — the view fill and the
+                                #  collision check each read ONE map, and
+                                #  self-exclusion needs no own-footprint
+                                #  gather: another robot covers the cell iff
+                                #  count >= 2, or count == 1 with another id
 
 
 def build_layers(
@@ -190,9 +192,19 @@ def build_layers(
 
     static_occ = (obs_map < CELL_FREE_MIN) | ped_strong | ped_weak
     robot_id = scatter_max_id(r_cells, robot_mask, hw)
+    # collision-category bits (cell_categories semantics), so the collision
+    # check is ONE gather instead of four
+    obs0 = obs_map == 0
+    writable = jnp.logical_not(obs0 | (obs_map == 1) | (obs_map == 2))
+    is_ped = (ped_strong | (ped_weak & writable)
+              | ((obs_map == 1) & jnp.logical_not(obs0)))
+    is_obs = obs0 & jnp.logical_not(ped_strong)
     packed = (static_occ.astype(jnp.int32)
               | (jnp.minimum(robot_count, 2) << 1)
-              | (robot_id << 3))
+              | (robot_id << 3)
+              | (is_ped.astype(jnp.int32) << 15)
+              | (is_obs.astype(jnp.int32) << 16)
+              | ((obs_map == 2).astype(jnp.int32) << 17))
 
     return OccupancyLayers(
         obs_map=obs_map,
@@ -259,21 +271,19 @@ def collision_codes(
     A robot whose collision or arrival flag is already latched skips the check
     (``Agent::view`` early-returns, agent.cpp:358).
     """
-    is_ped, is_obs = cell_categories(layers)
     cells, valid = layers.robot_cells, layers.robot_cells_valid  # [N,P,2],[N,P]
 
-    ped_hit, _ = _gather_map(is_ped, cells, False)
-    obs_hit, _ = _gather_map(is_obs, cells, False)
-    count_hit, inside = _gather_map(layers.robot_count, cells, 0)
+    v, inside = _gather_map(layers.packed, cells, 0)   # ONE gather per point
+    ped_hit = (v >> 15) & 1
+    obs_hit = (v >> 16) & 1
     # robot_count counts distinct robots per cell, and a robot's own footprint
     # cells are own-covered by construction, so "another robot here" is
     # simply count >= 2.  Static-map gray value 2 aliases to "robot" too.
-    alias2, _ = _gather_map(layers.obs_map == 2, cells, False)
-    other_robot = (count_hit > 1) | alias2
+    other_robot = (((v >> 1) & 3) > 1) | (((v >> 17) & 1) > 0)
 
     # Draw-priority category per point; 0 = no hit.
     code = jnp.where(
-        obs_hit, 1, jnp.where(ped_hit, 2, jnp.where(other_robot, 3, 0))
+        obs_hit > 0, 1, jnp.where(ped_hit > 0, 2, jnp.where(other_robot, 3, 0))
     )
     code = jnp.where(valid & inside, code, 0)
 

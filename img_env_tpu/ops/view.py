@@ -168,7 +168,7 @@ def gather_world_occupancy(
     packed = layers.packed[cmc, cnc]
     static_occ = (packed & 1) > 0
     cnt = (packed >> 1) & 3
-    vid = packed >> 3
+    vid = (packed >> 3) & 0xFFF
     other_robot = (cnt >= 2) | ((cnt == 1) & (vid != robot_id1))
 
     return inside & (static_occ | other_robot), inside
