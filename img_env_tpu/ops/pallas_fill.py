@@ -76,8 +76,33 @@ def _fill_kernel(pose_ref, gated_ref, pixx_ref, pixy_ref, map_ref, out_ref,
               ((((v >> 1) & 3) == 1) & ((v >> 3) != rid))
         occ_ref[:, :] = occ.astype(jnp.bfloat16)
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (fw, bm), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (fw, bn), 1)
+    # Coordinate math for ALL windows of the step at once: [WPS, FW] tensors
+    # use full (8, 128) vregs instead of WPS serial [FW]-vector chains, and
+    # the per-window corner mins become one axis-reduce.
+    bx = pixx_ref[:, :]                                       # [WPS, FW]
+    by = pixy_ref[:, :]
+    wx = c * bx - s * by + px
+    wy = s * bx + c * by + py
+    # round-half-away (grid_map.cpp:40-44)
+    fm = wx / res
+    fn = wy / res
+    cm = jnp.where(fm >= 0, jnp.floor(fm + 0.5), jnp.ceil(fm - 0.5)).astype(jnp.int32)
+    cn = jnp.where(fn >= 0, jnp.floor(fn + 0.5), jnp.ceil(fn - 0.5)).astype(jnp.int32)
+    # block corners from VALID (non-dead) pixels only: dead slots carry
+    # coords ~1e6 that would poison the min.  Aligned down (Mosaic needs
+    # tile-aligned dynamic slices); in-map cells keep in-block offsets
+    # because bm/bn include the span + alignment slack.
+    valid = bx < 1e5
+    big = jnp.int32(2 ** 30)
+    m0s = (jnp.clip(jnp.min(jnp.where(valid, cm, big), axis=1),
+                    0, h - bm) // 8) * 8                      # [WPS]
+    n0s = (jnp.clip(jnp.min(jnp.where(valid, cn, big), axis=1),
+                    0, w - bn) // 128) * 128
+    a_all = jnp.clip(cm - m0s[:, None], 0, bm - 1)            # [WPS, FW]
+    b_all = jnp.clip(cn - n0s[:, None], 0, bn - 1)
+
+    subT = jax.lax.broadcasted_iota(jnp.int32, (bm, fw), 0)
+    laneT = jax.lax.broadcasted_iota(jnp.int32, (bn, fw), 0)
 
     def window(k):
         # consumers only read ``occ & gates`` — skip out-of-FOV windows
@@ -90,42 +115,29 @@ def _fill_kernel(pose_ref, gated_ref, pixx_ref, pixy_ref, map_ref, out_ref,
             _window_body(k)
 
     def _window_body(k):
-        bx = pixx_ref[k, :]                                   # [FW]
-        by = pixy_ref[k, :]
-        wx = c * bx - s * by + px
-        wy = s * bx + c * by + py
-        # round-half-away (grid_map.cpp:40-44)
-        fm = wx / res
-        fn = wy / res
-        cm = jnp.where(fm >= 0, jnp.floor(fm + 0.5), jnp.ceil(fm - 0.5)).astype(jnp.int32)
-        cn = jnp.where(fn >= 0, jnp.floor(fn + 0.5), jnp.ceil(fn - 0.5)).astype(jnp.int32)
-        # block corner from VALID (non-dead) pixels only: dead slots carry
-        # coords ~1e6 that would poison the min.  Aligned down (Mosaic needs
-        # tile-aligned dynamic slices); in-map cells keep in-block offsets
-        # because bm/bn include the span + alignment slack.
-        valid = bx < 1e5
-        big = jnp.int32(2 ** 30)
-        m0 = (jnp.clip(jnp.min(jnp.where(valid, cm, big)), 0, h - bm) // 8) * 8
-        n0 = (jnp.clip(jnp.min(jnp.where(valid, cn, big)), 0, w - bn) // 128) * 128
-        a = jnp.clip(cm - m0, 0, bm - 1)
-        b = jnp.clip(cn - n0, 0, bn - 1)
-
+        m0 = m0s[k]
+        n0 = n0s[k]
+        a = a_all[k]                                          # [FW]
+        b = b_all[k]
         block = occ_ref[pl.ds(pl.multiple_of(m0, 8), bm),
                         pl.ds(pl.multiple_of(n0, 128), bn)]   # [BM, BN] bf16
-        one_a = (sub == a[:, None]).astype(jnp.bfloat16)      # [FW, BM]
+        # transposed gather: tmp[m, f] = block[m, b_f] via one MXU
+        # contraction over BN, then a masked SUBLANE reduce over BM picks
+        # row a_f (cross-sublane sums are much cheaper than cross-lane).
+        one_b = (laneT == b[None, :]).astype(jnp.bfloat16)    # [BN, FW]
         tmp = jax.lax.dot_general(
-            one_a, block,
+            block, one_b,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                     # [FW, BN]
-        sel = jnp.where(lane == b[:, None], tmp, 0.0)
-        vals = jnp.sum(sel, axis=1)                           # [FW]
+        )                                                     # [BM, FW]
+        sel = jnp.where(subT == a[None, :], tmp, 0.0)
+        vals = jnp.sum(sel, axis=0)                           # [FW]
         out_ref[k, :] = (vals > 0.5).astype(jnp.int32)
 
     # Python-unrolled: the windows are independent, and straight-line code
     # lets Mosaic overlap one window's MXU contraction with the next one's
-    # VPU coordinate math (a fori_loop body is scheduled as one serial
-    # latency chain per iteration).
+    # VPU select (a fori_loop body is scheduled as one serial latency chain
+    # per iteration).
     for k in range(WIN_PER_STEP):
         window(k)
 
