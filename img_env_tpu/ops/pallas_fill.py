@@ -40,16 +40,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _block_dims(ps, res: float):
-    """(BM, BN) covering any fill window at map resolution ``res``.
+    """(BM, BN, n_copies) covering any fill window at map resolution ``res``.
 
-    The corner is aligned down (8 sublanes / 128 lanes) and the map padded
-    to (8, 128) multiples, so alignment never pushes in-map offsets out of
-    the block (see fill_values_pallas).
+    The row corner aligns down to 8 sublanes and the map pads to (8, 128)
+    multiples, so alignment never pushes in-map offsets out of the block
+    (see fill_values_pallas).  When the span fits 128 lanes minus a 32-lane
+    alignment slack, the kernel keeps FOUR lane-shifted copies of the
+    decoded map, so the column corner aligns to 32 and BN collapses to one
+    128-lane tile — half the MXU tile-passes of BN=256.
     """
     span = int(np.ceil(ps.max_window_diam / res)) + 2
     bm = (span + 8 + 7) // 8 * 8
+    if span <= 96:
+        return bm, 128, 4
     bn = (span + 128 + 127) // 128 * 128
-    return bm, bn
+    return bm, bn, 1
 
 
 WIN_PER_STEP = 8   # fill windows per grid step (8-sublane-aligned blocks)
@@ -57,24 +62,33 @@ WIN_PER_STEP = 8   # fill windows per grid step (8-sublane-aligned blocks)
 
 def _fill_kernel(pose_ref, gated_ref, pixx_ref, pixy_ref, map_ref, out_ref,
                  occ_ref, *,
-                 res: float, h: int, w: int, fw: int, bm: int, bn: int):
+                 res: float, h: int, w: int, fw: int, bm: int, bn: int,
+                 n_copies: int):
     r = pl.program_id(0)
     j = pl.program_id(1)
     c = pose_ref[r * 4 + 0]
     s = pose_ref[r * 4 + 1]
     px = pose_ref[r * 4 + 2]
     py = pose_ref[r * 4 + 3]
+    shift = 128 // n_copies
 
     # Once per robot: occupancy decode over the whole map (raster.py
     # packing): occupied = static|ped, or >=2 robots, or 1 robot that is
     # not me.  The map travels as int16 (id <= 4095) to halve VMEM.
+    # Copy cp holds the decode shifted LEFT by shift*cp lanes, so block
+    # corners only need 32-lane alignment when n_copies == 4.
     @pl.when(pl.program_id(1) == 0)
     def _decode():
         v = map_ref[:, :].astype(jnp.int32)
         rid = r + 1
         occ = ((v & 1) > 0) | (((v >> 1) & 3) >= 2) | \
               ((((v >> 1) & 3) == 1) & ((v >> 3) != rid))
-        occ_ref[:, :] = occ.astype(jnp.bfloat16)
+        occ8 = occ.astype(jnp.int8)
+        occ_ref[0, :, :] = occ8
+        for cp in range(1, n_copies):
+            occ_ref[cp, :, : w - shift * cp] = occ8[:, shift * cp:]
+            occ_ref[cp, :, w - shift * cp:] = jnp.zeros(
+                (h, shift * cp), jnp.int8)
 
     # Coordinate math for ALL windows of the step at once: [WPS, FW] tensors
     # use full (8, 128) vregs instead of WPS serial [FW]-vector chains, and
@@ -96,8 +110,12 @@ def _fill_kernel(pose_ref, gated_ref, pixx_ref, pixy_ref, map_ref, out_ref,
     big = jnp.int32(2 ** 30)
     m0s = (jnp.clip(jnp.min(jnp.where(valid, cm, big), axis=1),
                     0, h - bm) // 8) * 8                      # [WPS]
+    # column corner at ``shift`` granularity; copy index recovers the
+    # 128-aligned position within the shifted map copy
     n0s = (jnp.clip(jnp.min(jnp.where(valid, cn, big), axis=1),
-                    0, w - bn) // 128) * 128
+                    0, w - bn) // shift) * shift
+    cps = (n0s // shift) % n_copies                           # [WPS]
+    cols = n0s - shift * cps                                  # 128-aligned
     a_all = jnp.clip(cm - m0s[:, None], 0, bm - 1)            # [WPS, FW]
     b_all = jnp.clip(cn - n0s[:, None], 0, bn - 1)
 
@@ -116,23 +134,23 @@ def _fill_kernel(pose_ref, gated_ref, pixx_ref, pixy_ref, map_ref, out_ref,
 
     def _window_body(k):
         m0 = m0s[k]
-        n0 = n0s[k]
         a = a_all[k]                                          # [FW]
         b = b_all[k]
-        block = occ_ref[pl.ds(pl.multiple_of(m0, 8), bm),
-                        pl.ds(pl.multiple_of(n0, 128), bn)]   # [BM, BN] bf16
+        block = occ_ref[cps[k],
+                        pl.ds(pl.multiple_of(m0, 8), bm),
+                        pl.ds(pl.multiple_of(cols[k], 128), bn)]  # [BM, BN] i8
         # transposed gather: tmp[m, f] = block[m, b_f] via one MXU
         # contraction over BN, then a masked SUBLANE reduce over BM picks
         # row a_f (cross-sublane sums are much cheaper than cross-lane).
-        one_b = (laneT == b[None, :]).astype(jnp.bfloat16)    # [BN, FW]
+        one_b = (laneT == b[None, :]).astype(jnp.int8)        # [BN, FW]
         tmp = jax.lax.dot_general(
             block, one_b,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )                                                     # [BM, FW]
-        sel = jnp.where(subT == a[None, :], tmp, 0.0)
+        sel = jnp.where(subT == a[None, :], tmp, 0)
         vals = jnp.sum(sel, axis=0)                           # [FW]
-        out_ref[k, :] = (vals > 0.5).astype(jnp.int32)
+        out_ref[k, :] = (vals > 0).astype(jnp.int32)
 
     # Python-unrolled: the windows are independent, and straight-line code
     # lets Mosaic overlap one window's MXU contraction with the next one's
@@ -143,10 +161,10 @@ def _fill_kernel(pose_ref, gated_ref, pixx_ref, pixy_ref, map_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("res", "fw", "bm", "bn",
-                                             "interpret"))
+                                             "n_copies", "interpret"))
 def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, window_gated, *,
                        res: float, fw: int, bm: int, bn: int,
-                       interpret: bool = False):
+                       n_copies: int = 1, interpret: bool = False):
     """[N, P'] 0/1 gated occupancy (self excluded) at each robot's pixels.
 
     packed_map_i16: [H, W] int16 id-packed map (prepare_map: H multiple of
@@ -177,7 +195,7 @@ def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, window_gated, *,
     pixy2 = pix_y.reshape(windows, fw).astype(jnp.float32)
 
     kern = functools.partial(_fill_kernel, res=res, h=h, w=w, fw=fw,
-                             bm=bm, bn=bn)
+                             bm=bm, bn=bn, n_copies=n_copies)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n, steps),
@@ -192,7 +210,7 @@ def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, window_gated, *,
         out_specs=pl.BlockSpec((WIN_PER_STEP, fw),
                                lambda i, j, *_: (i * steps + j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((h, w), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((n_copies, h, w), jnp.int8)],
     )
     out = pl.pallas_call(
         kern,
@@ -232,14 +250,15 @@ def fill_sorted_pallas(ps, packed_map, resolution, poses, t=None,
     n = poses.shape[0]
     if n >= 4096:
         raise ValueError("id-packed int16 map supports at most 4095 robots")
-    bm, bn = _block_dims(ps, float(resolution))
+    bm, bn, n_copies = _block_dims(ps, float(resolution))
     bx = (t.pix_x if t is not None else jnp.asarray(ps.pix_x_sorted)).astype(jnp.float32)
     by = (t.pix_y if t is not None else jnp.asarray(ps.pix_y_sorted)).astype(jnp.float32)
     big = prepare_map(packed_map, bm, bn)
     occ = fill_values_pallas(big, poses.astype(jnp.float32), bx, by,
                              jnp.asarray(ps.window_gated, jnp.int32),
                              res=float(resolution), fw=int(ps.fill_window),
-                             bm=bm, bn=bn, interpret=interpret)
+                             bm=bm, bn=bn, n_copies=n_copies,
+                             interpret=interpret)
 
     def inside_mask(pose):
         c, s = jnp.cos(pose[2]), jnp.sin(pose[2])

@@ -101,7 +101,7 @@ class PolarStatics(NamedTuple):
 
     @staticmethod
     def build(p: ViewParams, sensor_base=(0.0, 0.0), image_size=(48, 48),
-              n_chunks: int = 48, fill_window: int = None) -> "PolarStatics":
+              n_chunks: int = None, fill_window: int = None) -> "PolarStatics":
         hpx, wpx = p.hpx, p.wpx
         P = hpx * wpx
         if fill_window is None:
@@ -109,6 +109,12 @@ class PolarStatics(NamedTuple):
             # windows; small views would drown in segment padding (each
             # connected arc pads to a window boundary)
             fill_window = 512 if P >= 100_000 else 128
+        if n_chunks is None:
+            # wider radial bands keep a fill window's arc SHORT (arc length
+            # ~ window/band_width), which bounds the kernel's block size;
+            # the raycast is insensitive to the chunk count (total incidence
+            # work is fixed, and first-hit decode is per-chunk-exponent)
+            n_chunks = 24 if P >= 100_000 else 16
         ls = LaserStatics.build(p, sensor_base)
         xb, yb = _pixel_base_coords(p)
         vs = ViewStatics.build(p, sensor_base)

@@ -53,7 +53,7 @@ def test_fill_sorted_pallas_matches_gather_path(rng):
 def test_fill_kernel_robot_id_exclusion(rng):
     """Self-exclusion semantics: each robot sees others, never itself."""
     ps = polar.PolarStatics.build(VP, n_chunks=8)
-    bm, bn = _block_dims(ps, RES)
+    bm, bn, n_copies = _block_dims(ps, RES)
     h = w = 220
     # two robots stamped by hand into an otherwise empty map
     packed = np.zeros((h, w), np.int64)
@@ -68,7 +68,7 @@ def test_fill_kernel_robot_id_exclusion(rng):
     by = jnp.asarray(ps.pix_y_sorted, jnp.float32)
     occ = np.asarray(fill_values_pallas(
         big, poses, bx, by, jnp.asarray(ps.window_gated, jnp.int32),
-        res=RES, fw=int(ps.fill_window), bm=bm, bn=bn, interpret=True))
+        res=RES, fw=int(ps.fill_window), bm=bm, bn=bn, n_copies=n_copies, interpret=True))
 
     def slot_of_world_cell(pose, m, n):
         c, s = np.cos(pose[2]), np.sin(pose[2])
