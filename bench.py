@@ -154,6 +154,72 @@ def main() -> None:
     except Exception as e:  # secondary metric must never break the bench
         print(f"# fast-mode failed: {e}", file=sys.stderr)
 
+    # secondary: crowded scene — 200 robots + 200 SFM pedestrians, the
+    # reference's headline scale ("200 robots and 200 obstacles have been
+    # simulated", README.md:12) with a live crowd model on top
+    try:
+        n_ped = 200
+        d = {
+            "env_name": "bench200ped",
+            "control_hz": 0.4,
+            "robot": dict(total=N_ROBOTS, shape=["circle"],
+                          size=[[0.0, 0.0, 0.17]],
+                          begin_poses_type=["range"],
+                          begin_poses=[[0.5, 15.5, 0.5, 15.5]],
+                          target_poses_type=["range"],
+                          target_poses=[[0.5, 15.5, 0.5, 15.5]]),
+            "object": dict(total=0),
+            "ped_sim": dict(total=n_ped, type="pedscene",
+                            max_speed=[0.5], shape=["leg"],
+                            size=[[0.0, 0.1, 0.1]],
+                            begin_poses_type=["range"],
+                            begin_poses=[[0.5, 15.5, 0.5, 15.5]],
+                            target_poses_type=["range"],
+                            target_poses=[[0.5, 15.5, 0.5, 15.5]],
+                            go_back="yes"),
+            "global_map": {"map_file": "room_16_empty.png",
+                           "resolution": 0.1},
+            "view_map": {"resolution": 0.015, "width": 6.0, "height": 6.0},
+            "range_total": 960, "max_ped": 10, "state_dim": 3,
+            "sensor_mode": "fast",
+        }
+        from img_env_tpu.config import EnvConfig
+
+        cfg_p = EnvConfig.from_dict(d)
+        env_p = NavEnv(cfg_p)
+        ctl_p = MpcController(
+            env_p, MppiConfig(horizon=MPPI_HORIZON, samples=MPPI_SAMPLES))
+        state_p, _ = env_p.reset(jax.random.PRNGKey(2))
+        ms_p = ctl_p.init_state()
+
+        @jax.jit
+        def control_step_p(key, state, mpc_state, tables):
+            k_plan, k_next = jax.random.split(key)
+            actions, mpc_state, costs = ctl_p.act_fn(k_plan, state, mpc_state)
+            state, obs, *_ = env_p.step_fn(state, actions, tables)
+            chk = (obs.sensor_maps.sum() + obs.lasers.sum()
+                   + obs.ped_vector_states.sum())
+            return k_next, state, mpc_state, chk
+
+        tp = env_p.sensor_tables
+        kp = jax.random.PRNGKey(3)
+        for _ in range(WARMUP):
+            kp, state_p, ms_p, chk = control_step_p(kp, state_p, ms_p, tp)
+        jax.block_until_ready(chk)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            kp, state_p, ms_p, chk = control_step_p(kp, state_p, ms_p, tp)
+        jax.block_until_ready(chk)
+        dtp = time.perf_counter() - t0
+        print(
+            f"# crowd-mode (+{n_ped} SFM leg peds): "
+            f"{dtp / ITERS * 1e3:.1f} ms/step, "
+            f"{ITERS * N_ROBOTS * MPPI_SAMPLES / dtp:.0f} rollouts/s",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# crowd-mode failed: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
