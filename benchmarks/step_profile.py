@@ -81,7 +81,7 @@ def main():
 
     @jax.jit
     def raycast_sum(occ, t, i):
-        occ = occ ^ (i % 2 == 1)    # vary input without reshaping
+        occ = occ.at[:, i].set(~occ[:, i])     # distinct input per iteration
         hits, angular = polar.raycast_batched(ps, occ, t=t)
         return hits.sum() + angular.sum()
 
@@ -103,7 +103,7 @@ def main():
     @jax.jit
     def stamp_sum(vals, i):
         v = polar.stamp_self_sorted(
-            ps, vals + 0.0 * i, jnp.asarray(st.own_slots),
+            ps, vals + 0.0001 * i, jnp.asarray(st.own_slots),
             jnp.asarray(st.own_slots_ok))
         return v.sum()
 

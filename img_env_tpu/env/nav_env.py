@@ -236,10 +236,16 @@ class NavEnv:
         self.scene_type = cfg.ped_sim.type if cfg.ped_sim.total > 0 else "none"
         # Device tables are jit ARGUMENTS: the polar incidence matrices are
         # hundreds of MB and must not be baked into the HLO as constants.
-        self.sensor_tables = (
-            polar_mod.make_tables(self.statics.polar)
-            if cfg.sensor_mode != "reference" else None
-        )
+        if cfg.sensor_mode != "reference":
+            tables = polar_mod.make_tables(self.statics.polar)
+            # per-robot static self-stamp mask: the runtime stamp becomes
+            # one elementwise select instead of a scalar-rate scatter
+            self.sensor_tables = tables._replace(own_mask=jax.device_put(
+                jnp.asarray(polar_mod.own_mask_sorted(
+                    self.statics.polar, self.statics.own_slots,
+                    self.statics.own_slots_ok))))
+        else:
+            self.sensor_tables = None
         # FOV-fill backend: the Pallas matmul kernel replaces XLA's scalar
         # gather (~570 ms -> MXU work at 200 robots); 'auto' keeps the plain
         # gather on CPU where the x64 parity tests run.
@@ -612,9 +618,13 @@ class NavEnv:
                 hits = jnp.full((n, vp.range_total), 6.0)
                 angular = jnp.full((n, 72), vp.max_dist)
                 vals = polar_mod.plain_values_sorted(ps, occ, t=t)
-            vals = polar_mod.stamp_self_sorted(
-                ps, vals, jnp.asarray(st.own_slots), jnp.asarray(st.own_slots_ok)
-            )
+            if t is not None and t.own_mask is not None:
+                vals = polar_mod.stamp_self_mask(vals, t.own_mask)
+            else:
+                vals = polar_mod.stamp_self_sorted(
+                    ps, vals, jnp.asarray(st.own_slots),
+                    jnp.asarray(st.own_slots_ok),
+                )
             sensor_maps = polar_mod.sensor_maps_from_sorted(
                 ps, vals, tuple(cfg.image_size), t=t
             )

@@ -70,6 +70,7 @@ class PolarTables(NamedTuple):
     angular_bin: jnp.ndarray
     resize_pos: jnp.ndarray
     resize_w: jnp.ndarray
+    own_mask: jnp.ndarray = None      # [N, P'] per-robot self-stamp mask
 
 
 class PolarStatics(NamedTuple):
@@ -460,7 +461,8 @@ def stamp_self_sorted(ps: PolarStatics, values, own_slots, own_valid):
     """Self footprint (value 100) into non-occupied slots (agent.cpp:315-322).
 
     own_slots: [N, Q] sorted-slot indices (precomputed per robot shape),
-    own_valid: [N, Q].
+    own_valid: [N, Q].  Scatter formulation — prefer the elementwise
+    ``stamp_self_mask`` on TPU (scatters run at scalar rate).
     """
     n = values.shape[0]
 
@@ -470,6 +472,26 @@ def stamp_self_sorted(ps: PolarStatics, values, own_slots, own_valid):
         return vals.at[slots].set(new)
 
     return jax.vmap(one)(values, own_slots, own_valid)
+
+
+def own_mask_sorted(ps: PolarStatics, own_slots, own_valid) -> np.ndarray:
+    """[N, P'] bool: precompute each robot's static footprint stamp mask so
+    the runtime stamp is one elementwise select instead of a scatter."""
+    slots = np.asarray(own_slots)
+    ok = np.asarray(own_valid)
+    n = slots.shape[0]
+    mask = np.zeros((n, ps.n_slots), bool)
+    for i in range(n):
+        mask[i, slots[i][ok[i]]] = True
+    mask[:, ps.n_slots - 1] = False          # dead slot never stamps
+    return mask
+
+
+def stamp_self_mask(values, own_mask):
+    """Elementwise equivalent of stamp_self_sorted (own footprint static
+    per robot, agent.cpp:315-322: write 100 only over non-occupied)."""
+    return jnp.where(own_mask & (values != 0), float(CELL_SELF_IN_VIEW),
+                     values)
 
 
 def sensor_maps_from_sorted(ps: PolarStatics, values, image_size,
