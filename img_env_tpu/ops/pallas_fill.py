@@ -12,15 +12,17 @@ structure instead:
     pose-independent (``ps.max_window_diam``).  All its cells fit one small
     [BM, BN] map block whose corner is the window's min cell.
   * the per-robot occupancy decode (id-packed map -> 0/1, raster.py
-    encoding) runs ONCE per robot over the whole VMEM-resident map, so
-    block values are exact 0/1 in bf16.
-  * within the block, "gather" is a one-hot MXU contraction plus a one-hot
-    select:
-        tmp[j, :] = onehotA[j, a_j] @ occ01_block      # [FW, BN] matmul
-        out[j]    = sum_b (lane == b_j) * tmp[j, b]    # [FW] select
+    encoding) runs ONCE per robot over the whole VMEM-resident map, into
+    int8 copies lane-shifted by 32 so block corners need only 32-lane
+    alignment (BN collapses to one 128-lane tile when the span allows).
+  * within the block, "gather" is a one-hot int8 MXU contraction over the
+    columns plus a masked cross-sublane reduce over the rows:
+        tmp[m, f] = sum_n block[m, n] * (n == b_f)     # [BM, FW] matmul
+        out[f]    = sum_m (m == a_f) * tmp[m, f]       # sublane reduce
 
-Per robot: windows x (FW x BM x BN) MACs — ~1 TFLOP of bf16 MXU work at
-the bench200 scale instead of ~400 ms of scalar gathers.
+All coordinate math and block corners for a step's windows run as one
+[WIN_PER_STEP, FW] tensor pass; per robot the windows cost a few hundred
+MXU tile-passes instead of ~400 ms of scalar gathers.
 
 Out-of-map view pixels produce garbage block reads; the caller masks them
 with the (cheap, vectorized) inside test, exactly as the XLA path does.

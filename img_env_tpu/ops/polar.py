@@ -12,13 +12,13 @@ restructures the whole stage around ONE gather and a stack of matmuls:
   2. **Raycast = chunked matmuls**: a beam's Bresenham samples have strictly
      increasing distance, and a sample's distance is a function of its CELL
      alone — so annuli partition samples consistently with per-beam order.
-     For each annulus c, a static 0/1 incidence matrix B_c[p, r] (pixel p in
-     annulus c is a visited sample of beam r, truncated at the beam's first
-     out-of-map sample, agent.cpp:562) turns "any occupied visited sample in
-     this band" into ``counts[c] = occ[slice_c] @ B_c`` — MXU work shared
-     across all N robots.  The first nonzero band per beam is exact; a tiny
-     static table gathers that band's <=K samples to recover the exact
-     first-hit cell, bit-matching the sequential walk.
+     For each annulus c, a static incidence matrix B_c[p, r] (pixel p is the
+     k-th visited sample of beam r, truncated at the beam's first out-of-map
+     sample, agent.cpp:562) carries weight 2^-k, so ``occ[slice_c] @ B_c``
+     sums DISTINCT powers of two (exact in f32 for K <= 24): nonzero means
+     the band fired, and the float EXPONENT of the count is the first
+     occupied sample's k — the exact first hit, bit-matching the sequential
+     walk, with no per-sample gather.
   3. **Shadow = one-hot matmul**: per-pixel visibility (rho <= hit of the
      pixel's beam) expands hits back to pixels with a one-hot [P,R] matrix.
   4. **48x48 resize = sparse gather-sum**: INTER_CUBIC touches 16 inputs per

@@ -92,3 +92,40 @@ def test_fill_kernel_robot_id_exclusion(rng):
                 assert occ[i, slots].all(), "robot misses the other robot"
                 checked += 1
     assert checked, "no in-FOV cross-robot visibility exercised"
+
+
+def test_fill_single_copy_path(rng):
+    """Coarse-pixel views (span > 96 map cells) use the wide-block
+    single-copy kernel path — exercise it in interpret mode."""
+    vp = VP._replace(hpx=64, wpx=64, resolution=3 * RES, half=4.8)
+    # many thin radial bands -> long window arcs -> big span at map res
+    ps = polar.PolarStatics.build(vp, n_chunks=16)
+    bm, bn, n_copies = _block_dims(ps, RES)   # map at RES, pixels at 3*RES
+    assert n_copies == 1 and bn > 128, "expected the wide-block fallback"
+
+    h = w = 320
+    world = rng.integers(0, 2, (h, w)).astype(np.int64)
+    packed = (world & 1)                      # static occupancy only
+    big = prepare_map(jnp.asarray(packed, jnp.int32), bm, bn)
+    poses = jnp.asarray(
+        np.column_stack([rng.uniform(5.0, 9.0, 2), rng.uniform(5.0, 9.0, 2),
+                         rng.uniform(-3.1, 3.1, 2)]), jnp.float32)
+    bx = jnp.asarray(ps.pix_x_sorted, jnp.float32)
+    by = jnp.asarray(ps.pix_y_sorted, jnp.float32)
+    occ = np.asarray(fill_values_pallas(
+        big, poses, bx, by, jnp.asarray(ps.window_gated, jnp.int32),
+        res=RES, fw=int(ps.fill_window), bm=bm, bn=bn, n_copies=n_copies,
+        interpret=True))
+
+    gates = np.asarray(ps.gates_sorted)
+    for i, pose in enumerate(np.asarray(poses)):
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        wx = np.asarray(bx) * c - np.asarray(by) * s + pose[0]
+        wy = np.asarray(bx) * s + np.asarray(by) * c + pose[1]
+        cm = np.round(wx / RES).astype(int)
+        cn = np.round(wy / RES).astype(int)
+        inside = (cm >= 0) & (cm < h) & (cn >= 0) & (cn < w)
+        want = np.zeros_like(inside)
+        want[inside] = packed[cm[inside], cn[inside]] > 0
+        sel = inside & gates
+        np.testing.assert_array_equal(occ[i][sel] > 0, want[sel])
