@@ -27,18 +27,59 @@ from img_env_tpu.env.wrappers import StackedObs, WrapperStack
 from img_env_tpu.utils.metrics import EpisodeMetrics
 
 
+class _FlatBatchedCore:
+    """NavEnv-shaped facade over BatchedNavEnv: [S,N,...] <-> [S*N,...]."""
+
+    def __init__(self, batched, scenes: int):
+        self._env = batched
+        self._s = scenes
+        self._n = batched.cfg.robot.total
+
+    def _flat(self, tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((self._s * self._n,) + x.shape[2:])
+            if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[0] == self._s
+            else x,
+            tree,
+        )
+
+    def reset(self, key, carry=None):
+        keys = jax.random.split(key, self._s)
+        state, obs = self._env.reset(keys)
+        return state, self._flat(obs)
+
+    def step(self, state, cmds):
+        actions = jnp.asarray(cmds).reshape(self._s, self._n, -1)
+        state, obs, reward, done, info = self._env.step(state, actions)
+        return (state, self._flat(obs), reward.reshape(-1),
+                done.reshape(-1), self._flat(info))
+
+
 class ImgNavEnv:
-    """Stateful single-scene environment with the reference's step contract."""
+    """Stateful environment with the reference's step contract.
+
+    ``cfg.num_scenes > 1`` replaces the reference's one-ROS-node-per-scene
+    fan-out (``env_num``, create_launch.py:25-34): S independent scenes step
+    as one on-device program and their robots flatten into a single
+    ``[S*N]`` batch, so the whole wrapper surface works unchanged.
+    Auto-reset (NeverStop) then triggers when ALL scenes are down.
+    """
 
     def __init__(self, cfg: EnvConfig, seed: int = 0, record: bool = False):
         self.cfg = cfg
-        self.core = NavEnv(cfg)
-        self.stack = WrapperStack(cfg)
+        self.scenes = max(int(cfg.num_scenes), 1)
+        if self.scenes > 1:
+            from img_env_tpu.parallel.batched_env import BatchedNavEnv
+
+            self.core = _FlatBatchedCore(BatchedNavEnv(cfg), self.scenes)
+        else:
+            self.core = NavEnv(cfg)
+        self.stack = WrapperStack(cfg, n_robots=cfg.robot.total * self.scenes)
         self._key = jax.random.PRNGKey(seed)
         self._state = None
         self._ws = None
-        self.robot_total = cfg.robot.total
-        self.ped_total = cfg.ped_sim.total
+        self.robot_total = cfg.robot.total * self.scenes
+        self.ped_total = cfg.ped_sim.total * self.scenes
         self.metrics = EpisodeMetrics(cfg)
         self._obs_filter = self._pick_filter(cfg)
         # TimeControlWrapper (base.py:301-311): wall-clock pacing, eval only

@@ -38,8 +38,8 @@ class WrapperState(NamedTuple):
     q_lasers: jnp.ndarray       # [N, laser_batch(>=1), R]
 
 
-def init_wrapper_state(cfg: EnvConfig) -> WrapperState:
-    n = cfg.robot.total
+def init_wrapper_state(cfg: EnvConfig, n_robots: int = None) -> WrapperState:
+    n = cfg.robot.total if n_robots is None else n_robots
     ib = max(cfg.image_batch, 0)
     sb = max(cfg.state_batch, 0)
     lb = max(cfg.laser_batch, 1) if cfg.laser_batch >= 0 else 0
@@ -203,8 +203,9 @@ class WrapperStack:
     Unlisted wrappers are skipped.
     """
 
-    def __init__(self, cfg: EnvConfig):
+    def __init__(self, cfg: EnvConfig, n_robots: int = None):
         self.cfg = cfg
+        self.n_robots = cfg.robot.total if n_robots is None else n_robots
         w = set(cfg.wrapper) if cfg.wrapper else {
             "VelActionWrapper", "TimeLimitWrapper", "SensorsPaperRewardWrapper",
             "InfoLogWrapper", "MultiRobotCleanWrapper", "StateBatchWrapper",
@@ -220,7 +221,7 @@ class WrapperStack:
         self.use_vel_action = "VelActionWrapper" in w
 
     def init_state(self) -> WrapperState:
-        return init_wrapper_state(self.cfg)
+        return init_wrapper_state(self.cfg, self.n_robots)
 
     def on_reset(self, ws: WrapperState, obs: Observation):
         ws = state_batch_clear(ws)

@@ -122,3 +122,23 @@ def test_gym_facade_runs():
         obs, rew, done, info = env.step(np.asarray([[0.3, 0.1], [0.3, -0.1]]))
         assert "dones_info" in info and "speeds" in info
     assert env.metrics.episodes >= 1
+
+
+def test_num_scenes_flat_batch():
+    """cfg.num_scenes > 1: S scenes flatten into one [S*N] robot batch
+    through the full gym facade (reference env_num parity)."""
+    import numpy as np
+    from img_env_tpu.config import read_yaml
+    from img_env_tpu.env.gymapi import make_env
+
+    d = read_yaml("img_env_tpu/configs/test.yaml")
+    d["num_scenes"] = 3
+    env = make_env(d, seed=1)
+    obs = env.reset()
+    n = env.robot_total
+    assert n == 3 * d["robot"]["total"]
+    assert np.asarray(obs[1]).shape[0] == n
+    for i in range(3):
+        obs, r, done, info = env.step(np.full((n,), 10, np.int32))
+    assert np.asarray(r).shape == (n,)
+    assert info["dones_info"].shape == (n,)
