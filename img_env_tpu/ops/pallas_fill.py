@@ -62,12 +62,11 @@ def _block_dims(ps, res: float):
 WIN_PER_STEP = 8   # fill windows per grid step (8-sublane-aligned blocks)
 
 
-def _fill_kernel(pose_ref, gated_ref, pixx_ref, pixy_ref, map_ref, out_ref,
+def _fill_kernel(pose_ref, pixx_ref, pixy_ref, map_ref, out_ref,
                  occ_ref, *,
                  res: float, h: int, w: int, fw: int, bm: int, bn: int,
                  n_copies: int):
     r = pl.program_id(0)
-    j = pl.program_id(1)
     c = pose_ref[r * 4 + 0]
     s = pose_ref[r * 4 + 1]
     px = pose_ref[r * 4 + 2]
@@ -124,59 +123,50 @@ def _fill_kernel(pose_ref, gated_ref, pixx_ref, pixy_ref, map_ref, out_ref,
     subT = jax.lax.broadcasted_iota(jnp.int32, (bm, fw), 0)
     laneT = jax.lax.broadcasted_iota(jnp.int32, (bn, fw), 0)
 
-    def window(k):
-        # consumers only read ``occ & gates`` — skip out-of-FOV windows
-        @pl.when(gated_ref[j * WIN_PER_STEP + k] == 0)
-        def _skip():
-            out_ref[k, :] = jnp.zeros((fw,), jnp.int32)
-
-        @pl.when(gated_ref[j * WIN_PER_STEP + k] != 0)
-        def _fill():
-            _window_body(k)
-
-    def _window_body(k):
-        m0 = m0s[k]
-        a = a_all[k]                                          # [FW]
-        b = b_all[k]
-        block = occ_ref[cps[k],
-                        pl.ds(pl.multiple_of(m0, 8), bm),
-                        pl.ds(pl.multiple_of(cols[k], 128), bn)]  # [BM, BN] i8
-        # transposed gather: tmp[m, f] = block[m, b_f] via one MXU
-        # contraction over BN, then a masked SUBLANE reduce over BM picks
-        # row a_f (cross-sublane sums are much cheaper than cross-lane).
-        one_b = (laneT == b[None, :]).astype(jnp.int8)        # [BN, FW]
-        tmp = jax.lax.dot_general(
-            block, one_b,
+    # Phase-ordered straight-line code: all block loads, then all one-hot
+    # builds, then all MXU contractions back-to-back (independent dots
+    # pipeline at issue rate instead of serializing at latency), then the
+    # selects/stores.
+    blocks = [
+        occ_ref[cps[k],
+                pl.ds(pl.multiple_of(m0s[k], 8), bm),
+                pl.ds(pl.multiple_of(cols[k], 128), bn)]      # [BM, BN] i8
+        for k in range(WIN_PER_STEP)
+    ]
+    one_bs = [
+        (laneT == b_all[k][None, :]).astype(jnp.int8)         # [BN, FW]
+        for k in range(WIN_PER_STEP)
+    ]
+    # transposed gather: tmp[m, f] = block[m, b_f] via one MXU contraction
+    # over BN, then a masked SUBLANE reduce over BM picks row a_f
+    # (cross-sublane sums are much cheaper than cross-lane).
+    tmps = [
+        jax.lax.dot_general(
+            blocks[k], one_bs[k],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )                                                     # [BM, FW]
-        sel = jnp.where(subT == a[None, :], tmp, 0)
+        for k in range(WIN_PER_STEP)
+    ]
+    for k in range(WIN_PER_STEP):
+        sel = jnp.where(subT == a_all[k][None, :], tmps[k], 0)
         vals = jnp.sum(sel, axis=0)                           # [FW]
         out_ref[k, :] = (vals > 0).astype(jnp.int32)
-
-    # Python-unrolled: the windows are independent, and straight-line code
-    # lets Mosaic overlap one window's MXU contraction with the next one's
-    # VPU select (a fori_loop body is scheduled as one serial latency chain
-    # per iteration).
-    for k in range(WIN_PER_STEP):
-        window(k)
 
 
 @functools.partial(jax.jit, static_argnames=("res", "fw", "bm", "bn",
                                              "n_copies", "interpret"))
-def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, window_gated, *,
+def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, *,
                        res: float, fw: int, bm: int, bn: int,
                        n_copies: int = 1, interpret: bool = False):
-    """[N, P'] 0/1 gated occupancy (self excluded) at each robot's pixels.
+    """[N, len(pix_x)] 0/1 occupancy (self excluded) at the given pixels.
 
     packed_map_i16: [H, W] int16 id-packed map (prepare_map: H multiple of
     8, W multiple of 128, H >= bm, W >= bn).  poses: [N, 3].  pix_x/pix_y:
-    [P'] f32 base-frame pixel coords in (chunk, gated, angle) sorted order
-    with connected arcs padded to ``fw`` slots (PolarStatics.build
-    fill_window).  window_gated: [P'/fw] int32; ungated windows are zeroed
-    without computing (their occupancy is never read through the gates).
-    Out-of-map pixels of gated windows are garbage — callers apply the
-    inside mask.
+    [n_fill] f32 base-frame pixel coords — the GATED slot prefix of the
+    (gated, chunk, angle) sorted layout, connected arcs padded to ``fw``
+    slots (PolarStatics.build fill_window).  Out-of-map and dead-padding
+    pixels are garbage — callers apply the inside mask.
     """
     h, w = packed_map_i16.shape
     n = poses.shape[0]
@@ -185,8 +175,6 @@ def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, window_gated, *,
     if pad:
         pix_x = jnp.concatenate([pix_x, jnp.full((pad,), 1e6, pix_x.dtype)])
         pix_y = jnp.concatenate([pix_y, jnp.full((pad,), 1e6, pix_y.dtype)])
-        window_gated = jnp.concatenate(
-            [window_gated, jnp.zeros((pad // fw,), window_gated.dtype)])
     p = p0 + pad
     windows = p // fw
     steps = windows // WIN_PER_STEP
@@ -199,7 +187,7 @@ def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, window_gated, *,
     kern = functools.partial(_fill_kernel, res=res, h=h, w=w, fw=fw,
                              bm=bm, bn=bn, n_copies=n_copies)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(n, steps),
         in_specs=[
             pl.BlockSpec((WIN_PER_STEP, fw), lambda i, j, *_: (j, 0),
@@ -219,8 +207,7 @@ def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, window_gated, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n * windows, fw), jnp.int32),
         interpret=interpret,
-    )(pose_flat, window_gated.astype(jnp.int32), pixx2, pixy2,
-      packed_map_i16)
+    )(pose_flat, pixx2, pixy2, packed_map_i16)
     return out.reshape(n, p)[:, :p0]
 
 
@@ -255,20 +242,25 @@ def fill_sorted_pallas(ps, packed_map, resolution, poses, t=None,
     bm, bn, n_copies = _block_dims(ps, float(resolution))
     bx = (t.pix_x if t is not None else jnp.asarray(ps.pix_x_sorted)).astype(jnp.float32)
     by = (t.pix_y if t is not None else jnp.asarray(ps.pix_y_sorted)).astype(jnp.float32)
+    nf = int(ps.n_fill_slots)
     big = prepare_map(packed_map, bm, bn)
-    occ = fill_values_pallas(big, poses.astype(jnp.float32), bx, by,
-                             jnp.asarray(ps.window_gated, jnp.int32),
+    occ = fill_values_pallas(big, poses.astype(jnp.float32),
+                             bx[:nf], by[:nf],
                              res=float(resolution), fw=int(ps.fill_window),
                              bm=bm, bn=bn, n_copies=n_copies,
                              interpret=interpret)
 
     def inside_mask(pose):
         c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
-        wx = c * bx - s * by + pose[0]
-        wy = s * bx + c * by + pose[1]
+        wx = c * bx[:nf] - s * by[:nf] + pose[0]
+        wy = s * bx[:nf] + c * by[:nf] + pose[1]
         cm = round_half_away(wx / resolution).astype(jnp.int32)
         cn = round_half_away(wy / resolution).astype(jnp.int32)
         return (cm >= 0) & (cm < h) & (cn >= 0) & (cn < w)
 
     inside = jax.vmap(inside_mask)(poses.astype(jnp.float32))
-    return (occ > 0) & inside
+    prefix = (occ > 0) & inside
+    # ungated suffix: occupancy is never read through the gates — zero
+    return jnp.concatenate(
+        [prefix,
+         jnp.zeros((n, ps.n_slots - nf), bool)], axis=1)

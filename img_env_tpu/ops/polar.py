@@ -96,8 +96,8 @@ class PolarStatics(NamedTuple):
     resize_pos: np.ndarray      # [48*48, 16] int32 sorted slots
     resize_w: np.ndarray        # [48*48, 16] f32 cubic weights
     fill_window: int            # slot alignment of the Pallas fill windows
-    window_gated: np.ndarray    # [n_slots/fill_window] bool: any in-FOV pixel
-    max_window_diam: float      # max diameter (m) of any gated fill window
+    n_fill_slots: int           # gated prefix length the fill must cover
+    max_window_diam: float      # max diameter (m) of any fill-prefix window
     params: ViewParams
 
     @staticmethod
@@ -138,34 +138,31 @@ class PolarStatics(NamedTuple):
         # Pallas fill kernel (ops/pallas_fill.py) depends on this bound;
         # every other consumer only requires *some* consistent permutation.
         ang_of_pixel = np.arctan2(jj - oy, ii - ox).reshape(-1)
-        # Gated (in-FOV) pixels sort first within each chunk: consumers only
-        # ever read ``occ & gates`` (raycast/shadow/plain), so the Pallas
-        # fill skips whole ungated windows — roughly half the fill work for
-        # a pi-FOV sensor.
-        ungated = np.logical_not(vs.gates.reshape(-1))
-        order = np.lexsort((ang_of_pixel, ungated, chunk_of_pixel))
-        sorted_chunks = chunk_of_pixel[order]
-        counts = np.bincount(sorted_chunks, minlength=n_chunks)
-        # The square view clips outer rings into several disconnected arcs;
-        # a fill window straddling two arcs would have a huge diameter.
-        # Split each chunk at spatial gaps and pad every connected segment
-        # to a ``fill_window``-slot boundary, so aligned windows never cross
-        # a gap (costs a few % of dead slots, keeps the fill blocks small).
+        # ALL gated (in-FOV) pixels sort before all ungated ones: consumers
+        # only ever read ``occ & gates`` (raycast/shadow/plain), so the
+        # Pallas fill covers just the gated PREFIX [0, n_fill_slots) —
+        # roughly half the slots for a pi-FOV sensor — and the chunk slices
+        # used by the raycast incidence matmuls stay contiguous.
+        gated_pix = vs.gates.reshape(-1)
         gap = max(2.0 * band, 8.0 * p.resolution)
         fw = max(fill_window, 128)
         xf, yf = xb.reshape(-1), yb.reshape(-1)
         lo_list, hi_list = [], []
         slot_of_pixel = np.full(P, -1, np.int64)
         pos = 0
-        start = 0
+        # The square view clips outer rings into several disconnected arcs;
+        # a fill window straddling two arcs would have a huge diameter.
+        # Split each gated chunk at spatial gaps and pad every connected
+        # segment to a ``fill_window``-slot boundary, so aligned windows
+        # never cross a gap (a few % of dead slots, small fill blocks).
         for c in range(n_chunks):
-            lc = int(counts[c])
-            idxs = order[start:start + lc]
+            sel = np.nonzero((chunk_of_pixel == c) & gated_pix)[0]
+            idxs = sel[np.argsort(ang_of_pixel[sel], kind="stable")]
+            lc = len(idxs)
             lo_list.append(pos)
             if lc:
                 d = np.hypot(np.diff(xf[idxs]), np.diff(yf[idxs]))
-                gate_edge = ungated[idxs][1:] != ungated[idxs][:-1]
-                breaks = np.nonzero((d > gap) | gate_edge)[0] + 1
+                breaks = np.nonzero(d > gap)[0] + 1
                 bounds = [0, *breaks.tolist(), lc]
             else:
                 bounds = [0, 0]
@@ -174,7 +171,13 @@ class PolarStatics(NamedTuple):
                 slot_of_pixel[seg] = pos + np.arange(len(seg))
                 pos += _round_up(max(len(seg), 1), fw)
             hi_list.append(pos)
-            start += lc
+        n_fill_slots = pos
+        # ungated pixels: appended in (chunk, angle) order, never filled —
+        # their view value depends only on the gates (CELL_UNSEEN)
+        un = np.nonzero(np.logical_not(gated_pix))[0]
+        un = un[np.lexsort((ang_of_pixel[un], chunk_of_pixel[un]))]
+        slot_of_pixel[un] = pos + np.arange(len(un))
+        pos += len(un)
         n_slots = _round_up(pos + 1, fw)  # +1 dead slot
 
         perm = np.full(n_slots, -1, np.int64)
@@ -192,20 +195,19 @@ class PolarStatics(NamedTuple):
         onehot = np.zeros((n_slots, p.range_total), np.float32)
         onehot[np.arange(n_slots)[~dead], beam[~dead]] = 1.0
 
-        # --- fill windows: gated flags + max diameter (for the Pallas fill) --
-        # Segments are fw-padded and never mix gated with ungated pixels, so
-        # each aligned fw-slot window is skippable as a whole; a gated
-        # window lies in one connected arc of one radial chunk and its
+        # --- fill windows: max diameter (for the Pallas fill) ----------------
+        # Gated segments are fw-padded, so each aligned fw-slot window in the
+        # fill prefix lies in one connected arc of one radial chunk; its
         # point-set diameter bounds the world-cell span under ANY pose
-        # rotation.  Exact pairwise max over gated windows only.
-        pxw = px.reshape(-1, fw)
-        pyw = py.reshape(-1, fw)
-        alive_w = ~dead.reshape(-1, fw)
-        window_gated = gates.reshape(-1, fw).any(axis=1)
+        # rotation.  Exact pairwise max.
+        nw = n_fill_slots // fw
+        pxw = px[: n_fill_slots].reshape(nw, fw)
+        pyw = py[: n_fill_slots].reshape(nw, fw)
+        alive_w = ~dead[: n_fill_slots].reshape(nw, fw)
         max_diam = 0.0
-        for wi in range(pxw.shape[0]):
+        for wi in range(nw):
             a = alive_w[wi]
-            if not (window_gated[wi] and a.any()):
+            if not a.any():
                 continue
             xs, ys = pxw[wi][a], pyw[wi][a]
             dx = xs[:, None] - xs[None, :]
@@ -240,17 +242,11 @@ class PolarStatics(NamedTuple):
         # Rays only ever see gated occupancy (raycast applies occ & gates,
         # mirroring the gate test in the reference's view write,
         # agent.cpp:394-401), and gated slots sort first within each chunk —
-        # so the incidence matmuls truncate to each chunk's gated prefix
-        # (ungated rows contribute exactly zero).  ~2x less MXU work.
-        gated_hi = []
-        for c in range(n_chunks):
-            lc, hc = lo_list[c], hi_list[c]
-            g = np.nonzero(gates[lc:hc])[0]
-            gh = lc + _round_up(int(g[-1]) + 1, 128) if g.size else lc
-            gated_hi.append(min(gh, hc))
+        # so the incidence matmuls cover only the (chunk-contiguous) gated
+        # slices [lo_c, hi_c) — ungated samples contribute exactly zero.
         assert K <= 24, "first-hit exponent trick needs K samples in f32 mantissa"
         for c in range(n_chunks):
-            lc, hc = lo_list[c], gated_hi[c]
+            lc, hc = lo_list[c], hi_list[c]
             B = np.zeros((max(hc - lc, 128), R), np.float32)
             sel = sample_chunk == c                          # [R,S]
             rs, ss = np.nonzero(sel)
@@ -306,7 +302,7 @@ class PolarStatics(NamedTuple):
             refine_pos=refine_pos, refine_dist=refine_dist,
             angular_bin=bins,
             resize_pos=ridx.astype(np.int32), resize_w=rw.astype(np.float32),
-            fill_window=fw, window_gated=window_gated,
+            fill_window=fw, n_fill_slots=n_fill_slots,
             max_window_diam=max_diam,
             params=p,
         )

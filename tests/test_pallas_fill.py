@@ -67,8 +67,9 @@ def test_fill_kernel_robot_id_exclusion(rng):
     bx = jnp.asarray(ps.pix_x_sorted, jnp.float32)
     by = jnp.asarray(ps.pix_y_sorted, jnp.float32)
     occ = np.asarray(fill_values_pallas(
-        big, poses, bx, by, jnp.asarray(ps.window_gated, jnp.int32),
-        res=RES, fw=int(ps.fill_window), bm=bm, bn=bn, n_copies=n_copies, interpret=True))
+        big, poses, bx, by,
+        res=RES, fw=int(ps.fill_window), bm=bm, bn=bn, n_copies=n_copies,
+        interpret=True))
 
     def slot_of_world_cell(pose, m, n):
         c, s = np.cos(pose[2]), np.sin(pose[2])
@@ -113,7 +114,7 @@ def test_fill_single_copy_path(rng):
     bx = jnp.asarray(ps.pix_x_sorted, jnp.float32)
     by = jnp.asarray(ps.pix_y_sorted, jnp.float32)
     occ = np.asarray(fill_values_pallas(
-        big, poses, bx, by, jnp.asarray(ps.window_gated, jnp.int32),
+        big, poses, bx, by,
         res=RES, fw=int(ps.fill_window), bm=bm, bn=bn, n_copies=n_copies,
         interpret=True))
 
