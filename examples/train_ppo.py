@@ -80,14 +80,19 @@ def main():
         states, obs = jax.jit(env.reset_fn)(keys)
         key = jax.random.PRNGKey(2)
         t0 = time.perf_counter()
+        last_u, last_t = 0, t0
         for u in range(args.updates):
             key, k = jax.random.split(key)
             ts, states, obs, metrics = step(ts, states, obs, k)
             if (u + 1) % 5 == 0 or u == 0:
-                jax.block_until_ready(metrics["loss"])
-                el = time.perf_counter() - t0
-                sps = (u + 1) * args.unroll * args.scenes * cfg.robot.total / el
-                print(f"update {u+1:4d}  loss {float(metrics['loss']):9.4f}  "
+                # fetching the metrics forces the update (the TPU tunnel
+                # defers otherwise); rate is per window, excluding compile
+                loss = float(metrics["loss"])
+                now = time.perf_counter()
+                sps = ((u + 1 - last_u) * args.unroll * args.scenes
+                       * cfg.robot.total / (now - last_t))
+                last_u, last_t = u + 1, now
+                print(f"update {u+1:4d}  loss {loss:9.4f}  "
                       f"reward {float(metrics['reward_mean']):8.3f}  "
                       f"entropy {float(metrics['entropy']):6.3f}  "
                       f"{sps:8.0f} robot-steps/s")
