@@ -88,8 +88,7 @@ class PolarStatics(NamedTuple):
     # raycast chunks ---------------------------------------------------------
     chunk_lo: Tuple[int, ...]   # per chunk: [lo, hi) slice of sorted slots
     chunk_hi: Tuple[int, ...]
-    b_chunks: Tuple[np.ndarray, ...]  # per chunk [L_c, R] bf16 incidence
-    refine_pos: np.ndarray      # [R, NC, K] int32 sorted-slot of samples
+    b_chunks: Tuple[np.ndarray, ...]  # per chunk [L_c, R] bf16 2^-k weights
     refine_dist: np.ndarray     # [R, NC, K] f32 hit distance (pad 6.0)
     angular_bin: np.ndarray     # [R]
     # resize -----------------------------------------------------------------
@@ -236,7 +235,6 @@ class PolarStatics(NamedTuple):
         for c in range(n_chunks):
             sel = sample_chunk == c
             K = max(K, int(sel.sum(1).max(initial=1)))
-        refine_pos = np.full((R, n_chunks, K), n_slots - 1, np.int32)
         # float64 so x64 parity tests stay bit-exact (downcasts on TPU)
         refine_dist = np.full((R, n_chunks, K), LASER_MISS_DIST, np.float64)
         # Rays only ever see gated occupancy (raycast applies occ & gates,
@@ -261,7 +259,6 @@ class PolarStatics(NamedTuple):
                 slot_in = sample_slot[r, s_list] - lc
                 keep = (slot_in >= 0) & (slot_in < B.shape[0])
                 B[slot_in[keep], r] = 2.0 ** -np.arange(kk)[keep]
-                refine_pos[r, c, :kk] = sample_slot[r, s_list]
                 refine_dist[r, c, :kk] = ls.dists[r, s_list]
             b_chunks.append(B.astype(jnp.bfloat16))
 
@@ -299,7 +296,7 @@ class PolarStatics(NamedTuple):
             beam_onehot=onehot,
             chunk_lo=tuple(lo_list), chunk_hi=tuple(hi_list),
             b_chunks=tuple(b_chunks),
-            refine_pos=refine_pos, refine_dist=refine_dist,
+            refine_dist=refine_dist,
             angular_bin=bins,
             resize_pos=ridx.astype(np.int32), resize_w=rw.astype(np.float32),
             fill_window=fw, n_fill_slots=n_fill_slots,
