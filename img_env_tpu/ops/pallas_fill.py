@@ -6,11 +6,12 @@ gather (~400 ms for 200 robots x 166k slots, measured with forced fetches —
 benchmarks/fill_bench.py).  This kernel exploits the sorted layout's
 structure instead:
 
-  * slots are ordered (radial chunk, angle) with connected arcs padded to
-    ``fill_window`` boundaries — see PolarStatics.build — so any aligned
-    fill window covers one short arc of a thin ring whose DIAMETER is
-    pose-independent (``ps.max_window_diam``).  All its cells fit one small
-    [BM, BN] map block whose corner is the window's min cell.
+  * slots are ordered (FOV gate, radial chunk, angle) with connected arcs
+    padded to ``fill_window`` boundaries — see PolarStatics.build — so the
+    kernel covers just the gated prefix, and any aligned fill window is one
+    short arc of a thin ring whose DIAMETER is pose-independent
+    (``ps.max_window_diam``).  All its cells fit one small [BM, BN] map
+    block whose corner is the window's min cell.
   * the per-robot occupancy decode (id-packed map -> 0/1, raster.py
     encoding) runs ONCE per robot over the whole VMEM-resident map, into
     int8 copies lane-shifted by 32 so block corners need only 32-lane

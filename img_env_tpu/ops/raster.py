@@ -178,6 +178,9 @@ def build_layers(
     """Scatter all dynamic agents into the layered occupancy."""
     hw = obs_map.shape
 
+    if robot_points.shape[0] >= 4096:
+        raise ValueError(
+            "packed-map robot ids use bits 3..14 (<= 4095 robots)")
     rp = transform_points(robot_pose, robot_points)
     r_cells = world_to_cell(rp, resolution)
     robot_count = scatter_presence(r_cells, robot_mask, hw)
