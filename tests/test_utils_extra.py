@@ -67,3 +67,22 @@ def test_barn_suite_one_world(tmp_path):
     assert len(rows) == 1
     assert rows[0]["world"] == "room_10.png"
     assert (tmp_path / "barn.csv").exists()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """TrainState-shaped pytrees survive an orbax save/restore."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from img_env_tpu.train import checkpoint as ckpt
+
+    tree = {
+        "params": {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones((4,))},
+        "step": jnp.asarray(7, jnp.int32),
+    }
+    path = str(tmp_path / "ck")
+    ckpt.save(path, tree)
+    back = ckpt.restore(path, like=tree)
+    np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
+                                  np.asarray(tree["params"]["w"]))
+    assert int(back["step"]) == 7
