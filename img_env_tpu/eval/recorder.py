@@ -65,6 +65,7 @@ class EpisodeRecord:
     robot_vws: List[np.ndarray] = dataclasses.field(default_factory=list)
     ped_poses: List[np.ndarray] = dataclasses.field(default_factory=list)
     rewards: List[np.ndarray] = dataclasses.field(default_factory=list)
+    goals: Optional[np.ndarray] = None      # [N,2] episode goals
     dones_info: Optional[np.ndarray] = None
     result: str = ""
 
@@ -93,6 +94,8 @@ class EpisodeRecorder:
     def add_step(self, state, reward=None, speeds=None) -> None:
         if self._cur is None:
             self.start_episode()
+        if self._cur.goals is None and hasattr(state.robots, "goal"):
+            self._cur.goals = np.asarray(state.robots.goal)
         self._cur.robot_poses.append(np.asarray(state.robots.pose))
         if speeds is not None:
             self._cur.robot_vws.append(np.asarray(speeds))
@@ -110,9 +113,11 @@ class EpisodeRecorder:
         self._cur = None
 
     # ------------------------------------------------------------------
-    def summary(self) -> Dict[str, float]:
+    def summary(self, v_max: float = 0.6) -> Dict[str, float]:
         """BagReader-style stats (bag.py:897-1040): arrival rate, avg path
-        time, avg distance, avg |v| and |w|."""
+        time/distance, avg |v|/|w|, and the extra time/distance beyond the
+        straight start->goal optimum (the reference's extra-time at v_max
+        0.6 m/s and extra-distance measures)."""
         eps = [e for e in self.episodes if e.robot_poses]
         if not eps:
             return {}
@@ -121,11 +126,19 @@ class EpisodeRecorder:
             if e.dones_info is not None and np.any(np.asarray(e.dones_info) == 5)
         )
         times, dists, vs, ws = [], [], [], []
+        extra_t, extra_d = [], []
         for e in eps:
             poses = np.asarray(e.robot_poses)   # [T,N,3]
-            times.append(poses.shape[0] * self.dt)
+            t_ep = poses.shape[0] * self.dt
+            times.append(t_ep)
             seg = np.linalg.norm(np.diff(poses[:, :, :2], axis=0), axis=-1)
-            dists.append(float(seg.sum(0).mean()) if poses.shape[0] > 1 else 0.0)
+            path = seg.sum(0) if poses.shape[0] > 1 else np.zeros(poses.shape[1])
+            dists.append(float(path.mean()))
+            if e.goals is not None:
+                straight = np.linalg.norm(
+                    np.asarray(e.goals) - poses[0, :, :2], axis=-1)
+                extra_d.append(float((path - straight).mean()))
+                extra_t.append(float((t_ep - straight / v_max).mean()))
             vws = np.asarray(e.robot_vws)
             if vws.size:
                 vs.append(float(np.abs(vws[..., 0]).mean()))
@@ -135,6 +148,8 @@ class EpisodeRecorder:
             "arrive_rate": arrive / len(eps),
             "avg_path_time": float(np.mean(times)),
             "avg_distance": float(np.mean(dists)),
+            "avg_extra_time": float(np.mean(extra_t)) if extra_t else 0.0,
+            "avg_extra_distance": float(np.mean(extra_d)) if extra_d else 0.0,
             "avg_abs_v": float(np.mean(vs)) if vs else 0.0,
             "avg_abs_w": float(np.mean(ws)) if ws else 0.0,
         }
@@ -145,6 +160,8 @@ class EpisodeRecorder:
         for i, e in enumerate(self.episodes):
             for k, v in e.arrays().items():
                 arrays[f"ep{i}_{k}"] = v
+            if e.goals is not None:
+                arrays[f"ep{i}_goals"] = e.goals
             if e.dones_info is not None:
                 arrays[f"ep{i}_dones_info"] = e.dones_info
         np.savez_compressed(path, meta=json.dumps(payload), **arrays)
@@ -161,6 +178,8 @@ class EpisodeRecorder:
                     e.robot_vws = list(z[f"ep{i}_robot_vws"])
                     e.ped_poses = list(z[f"ep{i}_ped_poses"])
                     e.rewards = list(z[f"ep{i}_rewards"])
+                if f"ep{i}_goals" in z:
+                    e.goals = z[f"ep{i}_goals"]
                 if f"ep{i}_dones_info" in z:
                     e.dones_info = z[f"ep{i}_dones_info"]
                 rec.episodes.append(e)
