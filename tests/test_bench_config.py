@@ -34,8 +34,6 @@ def test_bench200_config_steps():
     assert cfg.object.total == bench.N_OBSTACLES
 
     # shrunken variant actually steps end-to-end with the MPC
-    import dataclasses
-
     small = EnvConfig.from_dict(_shrunk({
         "env_name": "bench_guard",
         "control_hz": 0.4,
