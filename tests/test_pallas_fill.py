@@ -130,3 +130,22 @@ def test_fill_single_copy_path(rng):
         want[inside] = packed[cm[inside], cn[inside]] > 0
         sel = inside & gates
         np.testing.assert_array_equal(occ[i][sel] > 0, want[sel])
+
+
+@pytest.mark.parametrize("corner", [(0.1, 0.1), (0.1, 9.9), (9.9, 0.1),
+                                    (9.9, 9.9)])
+def test_fill_at_map_corners(rng, corner):
+    """Block-corner clamping: robots at map edges still match the gather
+    path exactly (windows partially off-map exercise every clip branch)."""
+    ps = polar.PolarStatics.build(VP, n_chunks=8)
+    static, obs, peds, robots = _random_scene(rng, n_rob=2, n_ped=0, n_obs=2)
+    layers = _layers_from_scene(static, obs, peds, robots)
+    poses = jnp.asarray([[corner[0], corner[1], rng.uniform(-3.1, 3.1)],
+                         [corner[0] + 0.3, corner[1], 1.0]], jnp.float32)
+
+    want = (np.asarray(polar.fill_sorted(ps, layers.packed, RES, poses))
+            & np.asarray(ps.gates_sorted)[None])
+    got = np.asarray(fill_sorted_pallas(
+        ps, layers.packed, RES, poses, interpret=True))
+    mism = (got != want).mean()
+    assert mism < 2e-3, f"corner {corner}: mismatch {mism}"
