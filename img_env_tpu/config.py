@@ -160,6 +160,9 @@ class EnvConfig:
     env_type: str = "robot_nav"
     robot_type: str = "diff"          # diff | omni
     test: bool = False
+    cfg_type: str = "yaml"            # 'yaml' | 'bag': fixed-scenario replay
+    init_pose_bag_name: str = ""      # ScenarioBank npz (record or replay)
+    init_pose_bag_episodes: int = 0   # episodes in a generated bank
 
     # --- timing & episode ----------------------------------------------------
     control_hz: float = 0.4           # seconds of sim time per control step
@@ -282,6 +285,7 @@ class EnvConfig:
         kw: dict = {}
         simple_fields = [
             "env_name", "cfg_name", "env_type", "robot_type", "test",
+            "cfg_type", "init_pose_bag_name", "init_pose_bag_episodes",
             "control_hz", "time_max", "robot_radius", "ped_leg_radius",
             "ped_safety_space", "laser_max", "laser_norm", "image_batch",
             "state_batch", "state_dim", "state_normalize", "laser_batch",

@@ -91,6 +91,24 @@ class ImgNavEnv:
             from img_env_tpu.eval.recorder import EpisodeRecorder
 
             self.recorder = EpisodeRecorder(dt=float(cfg.control_hz))
+        # cfg_type 'bag': fixed-scenario replay (yaml_env.py:126-130,234-244)
+        # — every method sees the same episode sequence.  A ScenarioBank npz
+        # is loaded if present, otherwise generated (and saved when named).
+        self.scenario_bank = None
+        self._episode_idx = 0
+        if cfg.cfg_type == "bag":
+            import os
+
+            from img_env_tpu.eval.recorder import ScenarioBank
+
+            name = cfg.init_pose_bag_name
+            if name and os.path.exists(name):
+                self.scenario_bank = ScenarioBank.load(name)
+            else:
+                self.scenario_bank = ScenarioBank.generate(
+                    seed, max(int(cfg.init_pose_bag_episodes), 1))
+                if name:
+                    self.scenario_bank.save(name)
 
     @staticmethod
     def _pick_filter(cfg: EnvConfig):
@@ -124,7 +142,11 @@ class ImgNavEnv:
         carry = self._state if kwargs.get("carry", True) and self._state is not None else None
         key = kwargs.get("key", None)
         if key is None:
-            key = self._next_key()
+            if self.scenario_bank is not None:
+                key = self.scenario_bank.key(self._episode_idx)
+                self._episode_idx += 1
+            else:
+                key = self._next_key()
         self._state, obs = self.core.reset(key, carry)
         if self._ws is None:
             self._ws = self.stack.init_state()

@@ -142,3 +142,24 @@ def test_num_scenes_flat_batch():
         obs, r, done, info = env.step(np.full((n,), 10, np.int32))
     assert np.asarray(r).shape == (n,)
     assert info["dones_info"].shape == (n,)
+
+
+def test_cfg_type_bag_replay(tmp_path):
+    """cfg_type 'bag': two env instances replay identical scenarios
+    (the reference's init-pose-bag A/B protocol, yaml_env.py:234-244)."""
+    import numpy as np
+    from img_env_tpu.config import read_yaml
+    from img_env_tpu.env.gymapi import make_env
+
+    d = read_yaml("img_env_tpu/configs/test.yaml")
+    d["cfg_type"] = "bag"
+    d["init_pose_bag_name"] = str(tmp_path / "bank.npz")
+    d["init_pose_bag_episodes"] = 3
+
+    obs_a = [make_env(d, seed=0).reset() for _ in range(1)][0]
+    env_b = make_env(d, seed=123)          # different seed, same bank file
+    obs_b = env_b.reset()
+    np.testing.assert_array_equal(np.asarray(obs_a[1]), np.asarray(obs_b[1]))
+    # successive resets walk the bank deterministically
+    second_b = env_b.reset(carry=False)
+    assert not np.array_equal(np.asarray(obs_b[1]), np.asarray(second_b[1]))
