@@ -1,0 +1,107 @@
+"""TestEpisode-style evaluation over a fixed scenario bank.
+
+    python examples/evaluate.py [cfg.yaml] --episodes 20 --policy mpc \
+        --bank /tmp/bank.npz --record /tmp/episodes.npz --plots /tmp/eval
+
+Mirrors the reference's evaluation workflow (TestEpisodeWrapper +
+init-pose bags + BagReader, SURVEY.md §4): every method evaluated against
+the same ``--bank`` sees bit-identical episode sequences; metrics cover
+arrive/collision/stuck rates, smoothness (jerk, w-variance, zero
+crossings), and extra time/distance vs the straight-line optimum.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cfg", nargs="?", default="img_env_tpu/configs/test.yaml")
+    ap.add_argument("--episodes", type=int, default=10)
+    ap.add_argument("--max-steps", type=int, default=120)
+    ap.add_argument("--policy", choices=("random", "mpc"), default="mpc")
+    ap.add_argument("--bank", default="", help="ScenarioBank npz (shared across methods)")
+    ap.add_argument("--record", default="", help="write episode npz here")
+    ap.add_argument("--plots", default="", help="write trajectory/outcome PNGs here")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import numpy as np
+
+    from img_env_tpu.config import EnvConfig, read_yaml
+    from img_env_tpu.env.gymapi import make_env
+
+    d = read_yaml(args.cfg)
+    d["cfg_type"] = "bag"
+    d["init_pose_bag_name"] = args.bank
+    d["init_pose_bag_episodes"] = args.episodes
+    # the eval loop manages episode boundaries itself (the reference's
+    # TestEpisodeWrapper likewise runs without NeverStop auto-reset), and
+    # both policies emit continuous (v, w) commands
+    d["wrapper"] = [w for w in d.get("wrapper", []) if w != "NeverStopWrapper"]
+    d["discrete_action"] = False
+    env = make_env(d, seed=0, record=True)
+    n = env.robot_total
+
+    ctl = None
+    if args.policy == "mpc":
+        from img_env_tpu.mpc import MpcController, MppiConfig
+
+        ctl = MpcController(env.core, MppiConfig(horizon=8, samples=64))
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    for ep in range(args.episodes):
+        obs = env.reset(carry=False)
+        ms = ctl.init_state() if ctl else None
+        for step in range(args.max_steps):
+            if ctl is not None:
+                key, k = jax.random.split(key)
+                actions, ms, _ = ctl.act(k, env._state, ms)
+                actions = np.asarray(actions)[:, :2]
+            else:
+                actions = np.column_stack([
+                    rng.uniform(0.0, 0.6, n), rng.uniform(-0.9, 0.9, n)])
+            obs, reward, done, info = env.step(actions)
+            if bool(np.asarray(info["all_down"])):
+                break
+        env.metrics.end_episode(np.asarray(info["dones_info"]))
+        if env.recorder is not None:
+            env.recorder.end_episode(np.asarray(info["dones_info"]))
+
+    el = time.perf_counter() - t0
+    print(f"{args.episodes} episodes in {el:.1f}s ({args.policy} policy)")
+    for k, v in env.metrics.summary().items():
+        print(f"  {k:22s} {v}")
+    if env.recorder is not None:
+        for k, v in env.recorder.summary().items():
+            print(f"  {k:22s} {v:.4g}")
+        if args.record:
+            env.recorder.save(args.record)
+            print(f"wrote {args.record}")
+        if args.plots:
+            from img_env_tpu.eval import plots
+
+            os.makedirs(args.plots, exist_ok=True)
+            plots.plot_trajectories(
+                env.recorder, statics=env.core.statics,
+                out=os.path.join(args.plots, "trajectories.png"))
+            plots.plot_outcomes(
+                env.recorder, out=os.path.join(args.plots, "outcomes.png"))
+            print(f"wrote plots to {args.plots}/")
+
+
+if __name__ == "__main__":
+    main()
