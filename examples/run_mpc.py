@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--pred", default="cv", choices=["cv", "orca", "sfm"],
                     help="pedestrian prediction head")
     ap.add_argument("--render", default=None)
+    ap.add_argument("--watch", type=int, default=0, metavar="K",
+                    help="re-render --render every K steps (live show_gui"
+                         " flavor: watch the PNG in an image viewer)")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +81,10 @@ def main():
             print(f"step {t+1}: goal dists {np.round(d, 2)} "
                   f"arrive={np.asarray(state.robots.arrive).astype(int)} "
                   f"coll={np.asarray(state.robots.collision)}")
+        if args.watch and args.render and (t + 1) % args.watch == 0:
+            from img_env_tpu.eval.render import render_frame, save_png
+
+            save_png(args.render, render_frame(state, env.statics))
     dt = time.perf_counter() - t0
     d1 = float(np.linalg.norm(
         np.asarray(state.robots.goal) - np.asarray(state.robots.pose[:, :2]),
