@@ -94,6 +94,15 @@ class MpcController:
             orca_cfg=env.statics.orca_cfg,
         )
 
+        # other robots join the avoidance set as constant-velocity tracks
+        # (each planner's own column is self-masked in batched_mppi)
+        dt = float(env.cfg.control_hz)
+        ts = (jnp.arange(1, self.cfg.horizon + 1, dtype=jnp.float32)
+              * dt)[:, None, None]
+        robot_traj = state.robots.pose[None, :, :2] + \
+            state.robots.vel_world[None] * ts                   # [H,N,2]
+        robot_r = jnp.asarray(env.statics.robot_radius)
+
         if self.method == "ilqr":
             icfg = IlqrConfig(
                 horizon=self.cfg.horizon,
@@ -101,7 +110,7 @@ class MpcController:
             us, xs, costs = batched_ilqr(
                 state.robots.pose, state.robots.goal, mpc_state.nominal,
                 wc, ped_traj, ped_r, icfg, self.weights,
-                float(env.cfg.control_hz))
+                dt, robot_traj=robot_traj, robot_r=robot_r)
             acts = us[:, 0]
             nominal = jnp.concatenate([us[:, 1:], us[:, -1:]], axis=1)
         else:
@@ -112,7 +121,8 @@ class MpcController:
                 state.robots.goal, wc,
                 env.statics.limiter_v, env.statics.limiter_w,
                 ped_traj, ped_r, self.cfg, self.weights,
-                float(env.cfg.control_hz), env.cfg.robot_type == "omni",
+                dt, env.cfg.robot_type == "omni",
+                robot_traj=robot_traj, robot_r=robot_r,
             )
         actions = jnp.concatenate([acts, jnp.zeros((n, 1))], axis=-1)
         return actions, MpcState(nominal=nominal), costs

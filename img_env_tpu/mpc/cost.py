@@ -45,13 +45,17 @@ class WorldCost(NamedTuple):
 
 
 def static_distance(wc: WorldCost, xy: jnp.ndarray) -> jnp.ndarray:
-    """Distance (m) from points [...,2] to the nearest static/episode obstacle."""
+    """Distance (m) from points [...,2] to the nearest static/episode obstacle.
+
+    Map convention: row = x, col = y (ops/raster.world_to_cell) — visible
+    only on non-square / asymmetric maps (e.g. configs/corridor.yaml).
+    """
     cells = jnp.round(xy / wc.resolution).astype(jnp.int32)
     h, w = wc.edt.shape
-    r = jnp.clip(cells[..., 1], 0, h - 1)
-    c = jnp.clip(cells[..., 0], 0, w - 1)
-    inb = ((cells[..., 0] >= 0) & (cells[..., 0] < w)
-           & (cells[..., 1] >= 0) & (cells[..., 1] < h))
+    r = jnp.clip(cells[..., 0], 0, h - 1)
+    c = jnp.clip(cells[..., 1], 0, w - 1)
+    inb = ((cells[..., 0] >= 0) & (cells[..., 0] < h)
+           & (cells[..., 1] >= 0) & (cells[..., 1] < w))
     d_map = jnp.where(inb, wc.edt[r, c], 0.0)
 
     # analytic distance to each obstacle AABB

@@ -177,9 +177,24 @@ def ilqr_solve(
 def batched_ilqr(x0s, goals, us_inits, wc: WorldCost,
                  ped_traj, ped_r,
                  cfg: IlqrConfig, w8: CostWeights = CostWeights(),
-                 dt: float = 0.4):
-    """vmap over robots sharing a world (and one ped prediction)."""
-    return jax.vmap(
-        lambda x0, g, u0: ilqr_solve(
-            x0, g, u0, wc, ped_traj, ped_r, cfg, w8, dt)
-    )(x0s, goals, us_inits)
+                 dt: float = 0.4, robot_traj=None, robot_r=None):
+    """vmap over robots sharing a world (and one ped prediction).
+
+    robot_traj [H,N,2] / robot_r [N]: other-robot avoidance tracks, each
+    robot's own column self-masked (see batched_mppi)."""
+    n = x0s.shape[0]
+    if ped_traj.ndim == 2:
+        ped_traj = jnp.broadcast_to(ped_traj[None],
+                                    (cfg.horizon,) + ped_traj.shape)
+
+    def one(i, x0, g, u0):
+        if robot_traj is not None:
+            far = jnp.full((robot_traj.shape[0], 2), 1e6)
+            others = robot_traj.at[:, i, :].set(far)
+            avoid_traj = jnp.concatenate([ped_traj, others], axis=1)
+            avoid_r = jnp.concatenate([ped_r, robot_r])
+        else:
+            avoid_traj, avoid_r = ped_traj, ped_r
+        return ilqr_solve(x0, g, u0, wc, avoid_traj, avoid_r, cfg, w8, dt)
+
+    return jax.vmap(one)(jnp.arange(n), x0s, goals, us_inits)

@@ -154,14 +154,31 @@ def batched_mppi(
     wc: WorldCost, limiter_v, limiter_w,
     ped_traj, ped_r, cfg: MppiConfig,
     w8: CostWeights = CostWeights(), dt: float = 0.4, omni: bool = False,
+    robot_traj=None, robot_r=None,
 ):
-    """vmap MPPI over N robots sharing one world. Returns ([N,2], [N,H,2], [N])."""
+    """vmap MPPI over N robots sharing one world. Returns ([N,2], [N,H,2], [N]).
 
-    def one(key, nom, pose, a0, a1, goal):
+    robot_traj [H,N,2] / robot_r [N]: predicted OTHER-robot positions —
+    each robot's own column is pushed far away so it never avoids itself;
+    the rest join the pedestrian clearance set (robots have no equivalent
+    in the reference's reward, but independent per-robot planners would
+    otherwise collide head-on in shared passages).
+    """
+    n = poses.shape[0]
+
+    def one(i, key, nom, pose, a0, a1, goal):
+        if robot_traj is not None:
+            far = jnp.full((robot_traj.shape[0], 2), 1e6)
+            others = robot_traj.at[:, i, :].set(far)           # [H,N,2]
+            avoid_traj = jnp.concatenate([ped_traj, others], axis=1)
+            avoid_r = jnp.concatenate([ped_r, robot_r])
+        else:
+            avoid_traj, avoid_r = ped_traj, ped_r
         act, st, c = mppi_plan(
             key, PlannerState(nom), pose, a0, a1, goal, wc,
-            limiter_v, limiter_w, ped_traj, ped_r, cfg, w8, dt, omni,
+            limiter_v, limiter_w, avoid_traj, avoid_r, cfg, w8, dt, omni,
         )
         return act, st.nominal, c
 
-    return jax.vmap(one)(keys, ps_nominal, poses, vw0, vw1, goals)
+    return jax.vmap(one)(jnp.arange(n), keys, ps_nominal, poses, vw0, vw1,
+                         goals)
