@@ -138,3 +138,30 @@ def test_cem_runs():
         cfg)
     assert act.shape == (2,)
     assert np.isfinite(float(cost))
+
+
+def test_static_distance_orientation():
+    """EDT lookups must follow the row=x / col=y map convention — checked
+    on an ASYMMETRIC map (a wall only at high x), where a transposed
+    lookup gives distances from the wrong axis (regression: the corridor
+    scenario exposed exactly this)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from img_env_tpu.mpc.cost import WorldCost, static_distance, static_distance_smooth
+    from img_env_tpu.mpc.edt import edt2d
+
+    res = 0.1
+    occ = np.zeros((40, 80), bool)     # x in [0,4), y in [0,8)
+    occ[30:, :] = True                 # wall at x >= 3.0 only
+    wc = WorldCost(
+        edt=jnp.asarray(edt2d(occ, res), jnp.float32), resolution=res,
+        obs_aabb=jnp.zeros((0, 4)), obs_valid=jnp.zeros((0,), bool),
+        robot_radius=0.0,
+    )
+    pts = jnp.asarray([[1.0, 6.0], [2.5, 1.0], [0.5, 4.0]])
+    want = np.asarray([2.0, 0.5, 2.5])     # distance to the x=3 wall
+    got = np.asarray(static_distance(wc, pts))
+    np.testing.assert_allclose(got, want, atol=res)
+    got_s = np.asarray(static_distance_smooth(wc, pts))
+    np.testing.assert_allclose(got_s, want, atol=res)
