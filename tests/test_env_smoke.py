@@ -112,3 +112,45 @@ def test_env_arrival_latches():
         if np.asarray(done)[0] > 0:
             break
     assert np.asarray(obs.is_arrives)[0] == 1 or np.asarray(obs.is_collisions)[0] > 0
+
+
+def test_ervo_beep_evacuation_end_to_end():
+    """act_dim 3 beep (v_y > 0, ped_ca_p 1.0) drives ERVO pedestrians away
+    from the robot (ERVOSimulator::doStep evacuation term, full env path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from img_env_tpu.config import EnvConfig
+    from img_env_tpu.env.nav_env import NavEnv
+
+    cfg = EnvConfig.from_dict({
+        "env_name": "beep", "control_hz": 0.4, "act_dim": 3,
+        "ped_ca_p": 1.0, "beep_r": 2.0,
+        "robot": {"total": 1, "shape": ["circle"], "size": [[0, 0, 0.17]],
+                  "begin_poses_type": ["fix"], "begin_poses": [[5.0, 5.0, 0.0]],
+                  "target_poses_type": ["fix"], "target_poses": [[9.0, 5.0, 0.0]]},
+        "object": {"total": 0},
+        "ped_sim": {"total": 4, "type": "ervoscene", "max_speed": [0.5],
+                    "shape": ["circle"], "size": [[0, 0, 0.17]],
+                    "begin_poses_type": ["fix"] * 4,
+                    "begin_poses": [[6.0, 5.0, 0], [6.0, 4.5, 0],
+                                    [6.0, 5.5, 0], [6.5, 5.0, 0]],
+                    "target_poses_type": ["fix"] * 4,
+                    "target_poses": [[6.0, 5.0, 0], [6.0, 4.5, 0],
+                                     [6.0, 5.5, 0], [6.5, 5.0, 0]],
+                    "go_back": "no"},
+        "global_map": {"map_file": "room_10.png", "resolution": 0.1},
+        "view_map": {"resolution": 0.05, "width": 6.0, "height": 6.0},
+        "range_total": 64, "max_ped": 5, "state_dim": 3,
+        "sensor_mode": "fast",
+    })
+    env = NavEnv(cfg)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    p0 = np.asarray(state.peds.pos).copy()
+    for _ in range(8):
+        state, obs, r, d, i = env.step(state, jnp.asarray([[0.0, 0.0, 1.0]]))
+    d_before = np.linalg.norm(p0 - np.asarray([5.0, 5.0]), axis=-1)
+    d_after = np.linalg.norm(
+        np.asarray(state.peds.pos) - np.asarray([5.0, 5.0]), axis=-1)
+    assert (d_after > d_before + 0.1).all()
