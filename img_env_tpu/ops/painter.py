@@ -1,0 +1,263 @@
+"""Exact laser-mode view-map decode ("painter") for the sorted pipeline.
+
+The reference's laser trace (agent.cpp:356-509, 511-624) deep-copies the
+view map right after ``empty_map()`` — BEFORE the FOV fill — so the final
+laser-mode view map is an all-200 canvas painted only by the per-beam
+Bresenham walks (the FOV-filled map is just the read-only ray source):
+
+  * pre-hit samples write 255,
+  * the first occupied sample writes 0 (the hit),
+  * post-hit samples write 200 unless ``cx != end_x && cy != end_y`` fails.
+
+Beams run in increasing index order and overwrite each other, so a pixel's
+final value is the write of the HIGHEST-index beam that writes it.  Two
+facts make this a dense, gather-free decode:
+
+  1. The major coordinate strictly increases along a walk, so post-hit
+     samples never share it with the hit cell — the skip condition is
+     exactly "shares the MINOR coordinate", i.e. the contiguous run of
+     steps right after the hit until the minor offset changes.  A beam's
+     write at static step ``s`` therefore depends on two dynamic per-beam
+     scalars only:  ``s_hit`` (first occupied sample, from the raycast's
+     float-exponent decode) and ``s_tail`` (first step after ``s_hit``
+     whose minor coordinate differs — a static table indexed at s_hit):
+
+         s <  s_hit            -> 255
+         s == s_hit            -> 0
+         s_hit < s < s_tail    -> skip (no write)
+         s >= s_tail           -> 200
+
+  2. Which beams visit which pixel is static geometry.  In the
+     (chunk, angle)-sorted slot layout (ops/polar.py) any block of
+     consecutive slots is a short arc whose visitors lie in a NARROW
+     contiguous beam window, so the decode is a dense
+     [block, slot, window] integer compute + max-reduce: the per-entry
+     key ``(window_pos << 2) | code`` makes one ``max`` pick the
+     highest-index writing beam AND its value at once.
+
+Everything is integer arithmetic — bit-identical on CPU x64 and TPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from img_env_tpu.constants import CELL_UNSEEN, CELL_VIEW_FREE
+from img_env_tpu.ops.view import LaserStatics, ViewParams, beam_walk_tables
+from img_env_tpu.ops.polar import PolarStatics
+
+_BIG = np.int32(2 ** 14)       # "no hit" sentinel step (any real s < this)
+_BM = 128                      # slots per painter block
+
+
+class PainterRegion(NamedTuple):
+    lo: int                 # first slot covered
+    nb: int                 # number of BM-slot blocks
+    W: int                  # beam-window width (0 -> constant-200 region)
+    rbase: np.ndarray       # [nb] int32 window start beam per block
+    widx: np.ndarray        # [nb, W] int32 clipped beam index per window pos
+    sstep: np.ndarray       # [nb, BM, W] int16: step+1 of the visit, 0=none
+
+
+class PainterStatics(NamedTuple):
+    regions: Tuple[PainterRegion, ...]
+    globstep: np.ndarray    # [R, NC, K] int16 global step of chunk sample k
+    nxt_flat: np.ndarray    # [R*S] int16 minor-run end lookup
+    n_steps: int            # S
+    n_slots: int            # P'
+
+    @staticmethod
+    def build(ps: PolarStatics, sensor_base=(0.0, 0.0)) -> "PainterStatics":
+        p = ps.params
+        ls = LaserStatics.build(p, sensor_base)
+        cells = ls.cells
+        R, S = ls.valid.shape
+        eff, nxt = beam_walk_tables(ls, p)
+
+        # ---- global step of each (beam, chunk, k) raycast sample ----------
+        # mirrors the b_chunks walk-order grouping in PolarStatics.build
+        ox, oy = ls.origin[0] * p.resolution, ls.origin[1] * p.resolution
+        ii = np.arange(p.hpx)[:, None] * p.resolution
+        jj = np.arange(p.wpx)[None, :] * p.resolution
+        rho = np.hypot(ii - ox, jj - oy)
+        import math
+        nc = len(ps.b_chunks)
+        band = (math.hypot(p.half, p.half) + 2 * p.resolution) / nc
+        chunk_of_pixel = np.minimum((rho.reshape(-1) / band).astype(np.int64),
+                                    nc - 1)
+        pix_flat = cells[..., 0] * p.wpx + cells[..., 1]
+        pix_flat = np.where(eff, pix_flat, 0)
+        sample_chunk = np.where(eff, chunk_of_pixel[pix_flat], nc)
+        K = ps.refine_dist.shape[-1]
+        globstep = np.full((R, nc, K), _BIG, np.int32)
+        for c in range(nc):
+            sel = sample_chunk == c
+            rs, ss = np.nonzero(sel)
+            for r in np.unique(rs):
+                s_list = ss[rs == r]
+                globstep[r, c, : len(s_list)] = s_list
+
+        # ---- per-slot visitor lists -> blocked window tables --------------
+        slot_of_pixel = ps.slot_of_pixel
+        ent_r, ent_s = np.nonzero(eff)
+        ent_slot = slot_of_pixel[
+            cells[ent_r, ent_s, 0] * p.wpx + cells[ent_r, ent_s, 1]]
+        P = ps.n_slots
+        nb_total = P // _BM
+        assert nb_total * _BM == P, "sorted layout must be 128-aligned"
+        ent_blk = ent_slot // _BM
+        # per-block beam range
+        bmin = np.full(nb_total, np.iinfo(np.int32).max, np.int64)
+        bmax = np.full(nb_total, -1, np.int64)
+        np.minimum.at(bmin, ent_blk, ent_r)
+        np.maximum.at(bmax, ent_blk, ent_r)
+        wblk = np.where(bmax >= 0, bmax - np.minimum(bmin, bmax) + 1, 0)
+
+        # width class per block: 0 stays 0, else next pow2 (>= 32)
+        wcls = np.zeros(nb_total, np.int64)
+        nzb = wblk > 0
+        wcls[nzb] = np.maximum(32, 2 ** np.ceil(np.log2(wblk[nzb])).astype(int))
+        # fold short zero-runs into the wider neighbour class so regions
+        # stay few; long zero runs become free constant-200 regions
+        cls = wcls.copy()
+        i = 0
+        while i < nb_total:
+            j = i
+            while j < nb_total and cls[j] == cls[i]:
+                j += 1
+            if cls[i] == 0 and (j - i) < 4 and (i > 0 or j < nb_total):
+                left = cls[i - 1] if i > 0 else 0
+                right = cls[j] if j < nb_total else 0
+                cls[i:j] = max(left, right)
+            i = j
+
+        # entries grouped by block for table fill
+        order = np.argsort(ent_blk, kind="stable")
+        ent_blk_o = ent_blk[order]
+        ent_r_o = ent_r[order]
+        ent_s_o = ent_s[order]
+        ent_slot_o = ent_slot[order]
+        blk_start = np.searchsorted(ent_blk_o, np.arange(nb_total))
+        blk_end = np.searchsorted(ent_blk_o, np.arange(nb_total) + 1)
+
+        regions = []
+        i = 0
+        while i < nb_total:
+            j = i
+            while j < nb_total and cls[j] == cls[i]:
+                j += 1
+            W = int(cls[i])
+            nb = j - i
+            if W == 0:
+                regions.append(PainterRegion(
+                    lo=i * _BM, nb=nb, W=0,
+                    rbase=np.zeros(nb, np.int32),
+                    widx=np.zeros((nb, 0), np.int32),
+                    sstep=np.zeros((nb, _BM, 0), np.int16)))
+                i = j
+                continue
+            rbase = np.zeros(nb, np.int32)
+            sstep = np.zeros((nb, _BM, W), np.int16)
+            for b in range(i, j):
+                lo_e, hi_e = blk_start[b], blk_end[b]
+                if hi_e <= lo_e:
+                    continue
+                rb = int(bmin[b])
+                # centre the window when there's slack
+                span = int(wblk[b])
+                rb = max(0, min(rb - (W - span) // 2, R - W))
+                rbase[b - i] = rb
+                rr = ent_r_o[lo_e:hi_e] - rb
+                mm = ent_slot_o[lo_e:hi_e] - b * _BM
+                assert (rr >= 0).all() and (rr < W).all()
+                sstep[b - i, mm, rr] = (ent_s_o[lo_e:hi_e] + 1).astype(np.int16)
+            widx = np.clip(rbase[:, None] + np.arange(W)[None, :], 0, R - 1)
+            regions.append(PainterRegion(
+                lo=i * _BM, nb=nb, W=W, rbase=rbase,
+                widx=widx.astype(np.int32), sstep=sstep))
+            i = j
+
+        nxt_flat = np.minimum(nxt, _BIG).astype(np.int16).reshape(-1)
+        return PainterStatics(
+            regions=tuple(regions),
+            globstep=np.minimum(globstep, _BIG).astype(np.int16),
+            nxt_flat=nxt_flat, n_steps=S, n_slots=P,
+        )
+
+
+class PainterTables(NamedTuple):
+    """Device-resident painter tables (jit arguments, never HLO constants)."""
+
+    globstep: jnp.ndarray
+    nxt_flat: jnp.ndarray
+    region_widx: Tuple[jnp.ndarray, ...]
+    region_sstep: Tuple[jnp.ndarray, ...]
+
+
+def make_painter_tables(pst: PainterStatics, device_put=True) -> PainterTables:
+    import jax
+    put = jax.device_put if device_put else jnp.asarray
+    return PainterTables(
+        globstep=put(jnp.asarray(pst.globstep)),
+        nxt_flat=put(jnp.asarray(pst.nxt_flat)),
+        region_widx=tuple(put(jnp.asarray(r.widx)) for r in pst.regions),
+        region_sstep=tuple(put(jnp.asarray(r.sstep)) for r in pst.regions),
+    )
+
+
+def hit_steps(pst: PainterStatics, any_hit, first_c, first_k,
+              t: PainterTables = None):
+    """Per-beam (s_hit, s_tail) int16 from the raycast decode. [N,R] each."""
+    gs = t.globstep if t is not None else jnp.asarray(pst.globstep)
+    nxt = t.nxt_flat if t is not None else jnp.asarray(pst.nxt_flat)
+    R, nc, K = pst.globstep.shape
+    flat = ((jnp.arange(R, dtype=jnp.int32)[None, :] * nc + first_c) * K
+            + jnp.clip(first_k, 0, K - 1))
+    s_hit = jnp.where(any_hit, gs.reshape(-1)[flat], jnp.int16(_BIG))
+    s_idx = (jnp.arange(R, dtype=jnp.int32)[None, :] * pst.n_steps
+             + jnp.clip(s_hit.astype(jnp.int32), 0, pst.n_steps - 1))
+    s_tail = jnp.where(any_hit, nxt[s_idx], jnp.int16(_BIG))
+    return s_hit.astype(jnp.int16), s_tail.astype(jnp.int16)
+
+
+def paint_sorted(pst: PainterStatics, s_hit, s_tail,
+                 t: PainterTables = None):
+    """Exact laser-mode view values [N, P'] f32 in {0, 200, 255}.
+
+    s_hit/s_tail: [N, R] int16 per-beam thresholds (see hit_steps).
+    """
+    n = s_hit.shape[0]
+    outs = []
+    for ridx, reg in enumerate(pst.regions):
+        if reg.W == 0:
+            outs.append(jnp.full((n, reg.nb * _BM), float(CELL_UNSEEN),
+                                 jnp.float32))
+            continue
+        widx = (t.region_widx[ridx] if t is not None
+                else jnp.asarray(reg.widx))                  # [nb, W]
+        tbl = (t.region_sstep[ridx] if t is not None
+               else jnp.asarray(reg.sstep))                  # [nb, BM, W]
+        sh = s_hit[:, widx.reshape(-1)].reshape(n, reg.nb, 1, reg.W)
+        st = s_tail[:, widx.reshape(-1)].reshape(n, reg.nb, 1, reg.W)
+        T = tbl[None].astype(jnp.int16)                      # [1, nb, BM, W]
+        vis = T > 0
+        # codes: 2 -> 255 (pre-hit), 3 -> 0 (the hit), 1 -> 200 (post-run),
+        # 0 -> skip;   T = s+1
+        code = jnp.where(
+            T <= sh, jnp.int16(2),
+            jnp.where(T == sh + 1, jnp.int16(3),
+                      jnp.where(T > st, jnp.int16(1), jnp.int16(0))))
+        w_pos = jnp.arange(reg.W, dtype=jnp.int16)[None, None, None, :]
+        key = jnp.where(vis & (code > 0),
+                        (w_pos << 2) | code, jnp.int16(-1))
+        win = key.max(axis=-1)                               # [n, nb, BM]
+        c = win & 3
+        val = jnp.where(
+            win < 0, float(CELL_UNSEEN),
+            jnp.where(c == 2, float(CELL_VIEW_FREE),
+                      jnp.where(c == 3, 0.0, float(CELL_UNSEEN))))
+        outs.append(val.reshape(n, reg.nb * _BM).astype(jnp.float32))
+    return jnp.concatenate(outs, axis=1)[:, : pst.n_slots]

@@ -71,6 +71,7 @@ class PolarTables(NamedTuple):
     resize_pos: jnp.ndarray
     resize_w: jnp.ndarray
     own_mask: jnp.ndarray = None      # [N, P'] per-robot self-stamp mask
+    painter: object = None            # painter.PainterTables (laser decode)
 
 
 class PolarStatics(NamedTuple):
@@ -370,12 +371,16 @@ def fill_sorted(ps: PolarStatics, packed_map, resolution, poses,
     return jax.vmap(one)(poses, jnp.arange(1, n + 1, dtype=jnp.int32))
 
 
-def raycast_batched(ps: PolarStatics, occ_sorted, t: PolarTables = None):
+def raycast_batched(ps: PolarStatics, occ_sorted, t: PolarTables = None,
+                    return_aux: bool = False):
     """Exact first-hit per beam for all robots at once.
 
     occ_sorted: [N, P'] raw fill occupancy, sorted layout.  The rays read
     the FOV-gated map (``source_occ`` in the reference, agent.cpp:394-401) —
-    gating is applied here.  Returns (hits [N,R], angular [N,72]).
+    gating is applied here.  Returns (hits [N,R], angular [N,72]); with
+    ``return_aux`` also (any_hit [N,R], first_c [N,R], first_k [N,R]) —
+    the exact (chunk, within-chunk sample) of the hit, consumed by the
+    painter decode (ops/painter.py).
     """
     gates = t.gates if t is not None else jnp.asarray(ps.gates_sorted)
     source_occ_sorted = occ_sorted & gates[None]
@@ -416,12 +421,43 @@ def raycast_batched(ps: PolarStatics, occ_sorted, t: PolarTables = None):
     bins = t.angular_bin if t is not None else jnp.asarray(ps.angular_bin)
     angular = jnp.full((n, ANGULAR_MAP_SIZE), ps.params.max_dist, hits.dtype)
     angular = angular.at[:, bins].min(hits)
+    if return_aux:
+        return hits, angular, (any_hit, first_c, first_k)
     return hits, angular
+
+
+def inside_sorted(ps: PolarStatics, map_shape, resolution, poses,
+                  t: PolarTables = None):
+    """[N, P'] bool: the pixel's world cell lies inside the grid map.
+
+    The reference's FOV fill only writes when ``grid_map.is_in_map`` holds
+    (agent.cpp:392-401) — out-of-world pixels keep the 200 background in
+    no-laser mode.  Same coordinate math as fill_sorted, no map gather.
+    """
+    from img_env_tpu.ops.raster import round_half_away
+
+    h, w = map_shape
+    bx = t.pix_x if t is not None else jnp.asarray(ps.pix_x_sorted)
+    by = t.pix_y if t is not None else jnp.asarray(ps.pix_y_sorted)
+
+    def one(pose):
+        c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+        wx = c * bx - s * by + pose[0]
+        wy = s * bx + c * by + pose[1]
+        cm = round_half_away(wx / resolution).astype(jnp.int32)
+        cn = round_half_away(wy / resolution).astype(jnp.int32)
+        return (cm >= 0) & (cm < h) & (cn >= 0) & (cn < w)
+
+    return jax.vmap(one)(poses)
 
 
 def shadow_values_sorted(ps: PolarStatics, occ_sorted, hits,
                          t: PolarTables = None):
-    """Per-slot view value {0, 200, 255} after shadow tracing.
+    """LEGACY approximate shadow decode (kept for benchmarking only).
+
+    Per-pixel visibility from the nearest beam's hit distance — NOT the
+    reference's per-ray overwrite trace.  The production path is the exact
+    painter (ops/painter.py), which bit-matches agent.cpp:511-624.
 
     occ_sorted: [N, P'] bool; hits: [N, R].  The hit distance of each
     pixel's beam expands via the one-hot matmul (the 0/1 matrix is exact in
@@ -441,12 +477,19 @@ def shadow_values_sorted(ps: PolarStatics, occ_sorted, hits,
     ).astype(jnp.float32)
 
 
-def plain_values_sorted(ps: PolarStatics, occ_sorted, t: PolarTables = None):
-    """use_laser=False view values (no shadow), sorted order."""
+def plain_values_sorted(ps: PolarStatics, occ_sorted, inside=None,
+                        t: PolarTables = None):
+    """use_laser=False view values, sorted order.
+
+    inside: [N, P'] bool — pixel's world cell in the grid (inside_sorted).
+    Out-of-world pixels keep the 200 background: the reference's is_in_map
+    gate wraps both FOV-fill writes (agent.cpp:392-401).
+    """
     gates = (t.gates if t is not None else jnp.asarray(ps.gates_sorted))[None]
     source = gates & occ_sorted
+    visible = gates & inside if inside is not None else gates
     return jnp.where(
-        source, 0, jnp.where(gates, CELL_VIEW_FREE, CELL_UNSEEN)
+        source, 0, jnp.where(visible, CELL_VIEW_FREE, CELL_UNSEEN)
     ).astype(jnp.float32)
 
 

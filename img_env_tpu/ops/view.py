@@ -214,6 +214,42 @@ def _bresenham_cells(p: ViewParams, origin: np.ndarray) -> Tuple[np.ndarray, np.
     return np.stack([xs, ys], axis=-1).astype(np.int32), valid
 
 
+def beam_walk_tables(ls: "LaserStatics", p: ViewParams):
+    """Static walk structure for the exact laser-map trace.
+
+    Returns (eff [R,S] bool — samples the C++ loop actually visits (in-map
+    and before the first out-of-map cell, agent.cpp:536,562), nxt [R,S]
+    int32 — the first step after s whose MINOR coordinate differs).
+
+    ``nxt`` encodes the post-hit skip rule: the major coordinate strictly
+    increases along a walk (the for-loop increments it every iteration,
+    agent.cpp:532/580), so ``cur != end`` can only fail on the minor axis —
+    the skip set after a hit at step s is exactly the contiguous run
+    [s+1, nxt[s]) sharing the hit cell's minor coordinate.
+    """
+    cells, valid = ls.cells, ls.valid
+    r, s = valid.shape
+    hpx, wpx = p.hpx, p.wpx
+    inb = ((cells[..., 0] >= 0) & (cells[..., 0] < hpx)
+           & (cells[..., 1] >= 0) & (cells[..., 1] < wpx))
+    oob = valid & ~inb
+    first_oob = np.where(oob.any(1), oob.argmax(1), s)
+    eff = valid & inb & (np.arange(s)[None, :] < first_oob[:, None])
+
+    ends, _, _ = _beam_endpoints(p)
+    x1, y1 = int(ls.origin[0]), int(ls.origin[1])
+    flat = np.abs(ends[:, 0] - x1) > np.abs(ends[:, 1] - y1)   # x is major
+    minor = np.where(flat[:, None], cells[..., 1], cells[..., 0])
+
+    big = np.int32(2 ** 14)
+    nxt = np.full((r, s), big, np.int32)
+    if s >= 2:
+        change = minor[:, 1:] != minor[:, :-1]
+        for k in range(s - 2, -1, -1):
+            nxt[:, k] = np.where(change[:, k], k + 1, nxt[:, k + 1])
+    return eff, nxt
+
+
 class LaserStatics(NamedTuple):
     """Host-precomputed raycast geometry for one sensor placement."""
 
@@ -287,6 +323,8 @@ class ViewStatics(NamedTuple):
     pix_rho: np.ndarray        # [hpx,wpx] distance sensor->pixel (view units)
     pix_beam: np.ndarray       # [hpx,wpx] int32 nearest beam index
     laser: LaserStatics
+    eff: np.ndarray            # [R,S] bool — visited samples (beam_walk_tables)
+    nxt: np.ndarray            # [R,S] int32 — post-hit minor-run end
 
     @staticmethod
     def build(p: ViewParams, sensor_base=(0.0, 0.0)) -> "ViewStatics":
@@ -302,9 +340,10 @@ class ViewStatics(NamedTuple):
         beam = np.clip(
             np.floor((ang - p.angle_begin) / astep), 0, p.range_total - 1
         ).astype(np.int32)
+        eff, nxt = beam_walk_tables(st, p)
         return ViewStatics(
             pix_base_x=xb, pix_base_y=yb, gates=gates, pix_rho=rho,
-            pix_beam=beam, laser=st,
+            pix_beam=beam, laser=st, eff=eff, nxt=nxt,
         )
 
 
@@ -319,7 +358,7 @@ def render_robot_view(
     p: ViewParams,
 ):
     """One robot's view map + laser. Returns (view_u8, hits, angular)."""
-    occ, _ = gather_world_occupancy(
+    occ, inside = gather_world_occupancy(
         layers, resolution, pose,
         jnp.asarray(vs.pix_base_x), jnp.asarray(vs.pix_base_y),
         robot_id1,
@@ -328,21 +367,46 @@ def render_robot_view(
     source_occ = gates & occ     # cells the reference writes 0 into
 
     if p.use_laser:
-        hits, angular, _ = raycast(source_occ, vs.laser, p)
-        # Shadow-traced final map: pixels beyond their beam's hit distance are
-        # unseen (200); pixels before it are 255 (free) or 0 (occupied).
-        h_of_pix = hits[jnp.asarray(vs.pix_beam)]
-        rho = jnp.asarray(vs.pix_rho)
-        seen = rho <= h_of_pix + p.resolution * 0.5
+        hits, angular, first_hit = raycast(source_occ, vs.laser, p)
+        # Exact per-ray trace (agent.cpp:511-624): the laser map is a fresh
+        # all-200 canvas (the GridMap deep-copy happens right after
+        # empty_map(), BEFORE the FOV fill — agent.cpp:370-371) painted by
+        # the beams in index order; last writer wins, so a priority
+        # scatter-max with key (beam << 2 | code) reproduces it bit-for-bit.
+        cells = jnp.asarray(vs.laser.cells)                    # [R,S,2]
+        eff = jnp.asarray(vs.eff)
+        nxt = jnp.asarray(vs.nxt)
+        r, s = eff.shape
+        big = jnp.int32(2 ** 14)
+        sh = jnp.where(first_hit < s, first_hit, big).astype(jnp.int32)
+        stail = jnp.where(
+            first_hit < s,
+            nxt[jnp.arange(r), jnp.clip(first_hit, 0, s - 1)], big)
+        s_ids = jnp.arange(s, dtype=jnp.int32)[None, :]
+        code = jnp.where(
+            s_ids < sh[:, None], 2,
+            jnp.where(s_ids == sh[:, None], 3,
+                      jnp.where(s_ids >= stail[:, None], 1, 0)))
+        key = jnp.where(eff & (code > 0),
+                        jnp.arange(r, dtype=jnp.int32)[:, None] * 4 + code,
+                        -1)
+        flat = jnp.where(eff, cells[..., 0] * p.wpx + cells[..., 1], 0)
+        canvas = jnp.full((p.hpx * p.wpx,), -1, jnp.int32)
+        canvas = canvas.at[flat.reshape(-1)].max(key.reshape(-1))
+        c = canvas & 3
         val = jnp.where(
-            seen & source_occ, 0,
-            jnp.where(seen & gates, CELL_VIEW_FREE, CELL_UNSEEN),
-        ).astype(jnp.uint8)
+            canvas < 0, CELL_UNSEEN,
+            jnp.where(c == 2, CELL_VIEW_FREE,
+                      jnp.where(c == 3, 0, CELL_UNSEEN)),
+        ).astype(jnp.uint8).reshape(p.hpx, p.wpx)
     else:
         hits = jnp.full((p.range_total,), LASER_MISS_DIST)
         angular = jnp.full((ANGULAR_MAP_SIZE,), p.max_dist)
+        # no-laser fill: out-of-world pixels keep 200 (the is_in_map gate
+        # wraps both writes, agent.cpp:392-401)
         val = jnp.where(
-            source_occ, 0, jnp.where(gates, CELL_VIEW_FREE, CELL_UNSEEN)
+            source_occ, 0,
+            jnp.where(gates & inside, CELL_VIEW_FREE, CELL_UNSEEN)
         ).astype(jnp.uint8)
 
     # Stamp own footprint (value 100, agent.cpp:503).  Agent::draw only

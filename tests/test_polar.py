@@ -36,10 +36,13 @@ def _both_paths(rng, n_rob=3, n_ped=2, n_obs=2, vp=VP):
             jnp.asarray(vc), jnp.asarray(vm), vs, vp)
         ref.append((np.asarray(view), np.asarray(hits), np.asarray(ang)))
 
-    # new matmul path
+    # new matmul path + exact painter decode
+    from img_env_tpu.ops.painter import PainterStatics, hit_steps, paint_sorted
+    pst = PainterStatics.build(ps)
     occ = polar.fill_sorted(ps, layers.packed, RES, rob_poses)
-    hits, ang = polar.raycast_batched(ps, occ)
-    vals = polar.shadow_values_sorted(ps, occ, hits)
+    hits, ang, aux = polar.raycast_batched(ps, occ, return_aux=True)
+    s_hit, s_tail = hit_steps(pst, *aux)
+    vals = paint_sorted(pst, s_hit, s_tail)
     own_slots = []
     own_ok = []
     for i in range(n_rob):
@@ -95,7 +98,8 @@ def test_no_laser_values(rng):
     rob_poses = jnp.asarray(np.stack([p for p, _ in robots]))
     rob_pts, rob_msk = _pad([c for _, c in robots])
     occ = polar.fill_sorted(ps, layers.packed, RES, rob_poses)
-    vals = polar.plain_values_sorted(ps, occ)
+    inside = polar.inside_sorted(ps, layers.packed.shape, RES, rob_poses)
+    vals = polar.plain_values_sorted(ps, occ, inside)
     slots, oks = [], []
     for i in range(2):
         vc, vm = own_view_cells(rob_pts[i], rob_msk[i], vp)

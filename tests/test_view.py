@@ -1,9 +1,9 @@
 """Egocentric view + laser parity against the oracle.
 
-Laser hits and angular maps must be bit-exact (the closed-form Bresenham
-visits the same cells as the C++ walk).  The shadow-traced view map is
-approximated per-pixel (polar visibility instead of per-ray overwrites), so
-it is compared with a mismatch-rate budget.
+Laser hits, angular maps AND the traced view map must all be bit-exact:
+the closed-form Bresenham visits the same cells as the C++ walk, and the
+priority scatter-max trace reproduces the per-ray overwrite order
+(255/0/200 with the minor-coordinate skip run) exactly.
 """
 
 import jax.numpy as jnp
@@ -65,11 +65,10 @@ def test_laser_parity(rng, trial):
         np.testing.assert_allclose(ang, want.angular_map, atol=1e-9)
 
 
-def test_view_map_close(rng):
-    # Dense beams relative to pixel count, like the production config
-    # (960 beams / 400 px): the per-pixel polar approximation converges to the
-    # per-ray trace as beam density grows.
-    vp = VP._replace(range_total=240)
+@pytest.mark.parametrize("beams", [60, 240])
+def test_view_map_exact(rng, beams):
+    """The traced laser view map is bit-identical to the oracle's."""
+    vp = VP._replace(range_total=beams)
     static, obs, peds, robots = _random_scene(rng, n_rob=2, n_ped=2, n_obs=2)
     got = _run_tpu_views(static, obs, peds, robots, vp)
     _, _, robot_maps = oracle_compose_scene(static, RES, obs, peds, robots)
@@ -79,13 +78,8 @@ def test_view_map_close(rng):
             view_size_m=(3.0, 3.0), view_resolution=RES,
             range_total=vp.range_total,
         )
-        view = got[i][0]
-        mismatch = (view != want.view_map).mean()
-        assert mismatch < 0.05, f"robot {i}: {mismatch:.3f} of pixels differ"
-        # occupied (0) pixels are the safety-critical content: require that
-        # every oracle hit pixel is occupied-or-shadowed for us, never free.
-        bad_free = ((want.view_map == 0) & (view == 255)).mean()
-        assert bad_free < 0.005
+        np.testing.assert_array_equal(
+            got[i][0], want.view_map, err_msg=f"robot {i}")
 
 
 def test_view_no_laser_exact(rng):
