@@ -19,10 +19,16 @@ Pose-type semantics preserved (reset_helper.py:189-300):
     2*module_size + obstacle_radius against obstacles; goals also need
     ``target_min_dist`` from the own start.
 
-Deviation: the reference re-rolls entire circle layouts after 50 failures and
-re-samples starts when goals fail repeatedly; with T bounded trials we fall
-back to the last candidate and report ``ok=False`` for that scene instead
-(callers may redraw with a fresh key).
+Failure recovery: the reference re-rolls entire circle layouts after 50
+failures and retries reset up to 10x (reset_helper.py:251-258,
+yaml_env.py:304-311).  Here each agent draws T bounded trials; if any agent
+fails to place, the sample reports ``ok=False`` and
+``sample_scenario_retry`` re-draws the WHOLE scenario with a folded key up
+to ``reset_redraws`` times — the path NavEnv.reset_fn uses.
+
+``*_multi`` pose types (a list of candidate regions, one picked uniformly
+per attempt — reset_helper.py:239,274) are supported for begin and target
+poses, composing with range/view semantics.
 """
 
 from __future__ import annotations
@@ -50,32 +56,50 @@ CIRCLE_FIX = 7  # deterministic opposite (no 'range' prefix)
 _VIEW_BOX = (2.5, 4.0, 2.5, 4.0)  # task_view (reset_helper.py:70)
 
 
-def _encode_type(t: str, params) -> Tuple[int, np.ndarray]:
+def _encode_region(t: str, arr: np.ndarray) -> np.ndarray:
     p = np.zeros(6, np.float64)
-    arr = np.asarray(params, np.float64).reshape(-1)
     if "circle" in t:
         p[: min(2, arr.size)] = arr[:2]
-        if "fix" in t and "range" not in t:
-            return CIRCLE_FIX, p
-        if "fix" in t:
-            return RANGE_CIRCLE_FIX, p
-        return RANGE_CIRCLE, p
-    if "view" in t:
+    elif "view" in t:
         p[: min(4, arr.size)] = arr[:4]
-        return RANGE_VIEW, p
-    if t == "fix":
-        p[: arr.size] = arr
-        return FIX, p
-    if t == "rand_angle":
-        p[: arr.size] = arr
-        return RAND_ANGLE, p
-    # plain range
-    if arr.size >= 6:
+    elif t == "fix" or t == "rand_angle":
+        p[: min(6, arr.size)] = arr[:6]
+    elif arr.size >= 6:
         p[:6] = arr[:6]
-        return RANGE6, p
-    p[:4] = arr[:4]
-    p[4], p[5] = -3.14, 3.14
-    return RANGE4, p
+    else:
+        p[:4] = arr[:4]
+        p[4], p[5] = -3.14, 3.14
+    return p
+
+
+def _encode_type(t: str, params) -> Tuple[int, np.ndarray]:
+    """-> (code, regions [R,6]).  ``*_multi`` pose types carry a LIST of
+    candidate regions, one picked uniformly per attempt
+    (reset_helper.py:239,274); every other type has exactly one region."""
+    if "multi" in t and len(params) and isinstance(params[0], (list, tuple)):
+        regions = np.stack([
+            _encode_region(t, np.asarray(r, np.float64).reshape(-1))
+            for r in params])
+    else:
+        regions = _encode_region(
+            t, np.asarray(params, np.float64).reshape(-1))[None]
+    if "circle" in t:
+        if "fix" in t and "range" not in t:
+            return CIRCLE_FIX, regions
+        if "fix" in t:
+            return RANGE_CIRCLE_FIX, regions
+        return RANGE_CIRCLE, regions
+    if "view" in t:
+        return RANGE_VIEW, regions
+    if t == "fix":
+        return FIX, regions
+    if t == "rand_angle":
+        return RAND_ANGLE, regions
+    first = params[0] if ("multi" in t and len(params)
+                          and isinstance(params[0], (list, tuple))) else params
+    if np.asarray(first, np.float64).reshape(-1).size >= 6:
+        return RANGE6, regions
+    return RANGE4, regions
 
 
 class SamplerSpec(NamedTuple):
@@ -88,9 +112,11 @@ class SamplerSpec(NamedTuple):
     obs_params: np.ndarray         # [O,6]
     # agents (robots then peds)
     begin_type: np.ndarray         # [A]
-    begin_params: np.ndarray       # [A,6]
+    begin_params: np.ndarray       # [A,R,6] candidate regions per agent
+    begin_nreg: np.ndarray         # [A] live region count (rest padded)
     target_type: np.ndarray        # [A]
-    target_params: np.ndarray      # [A,6]
+    target_params: np.ndarray      # [A,R,6]
+    target_nreg: np.ndarray        # [A]
     module_size: np.ndarray        # [A]
     n_robots: int
     n_peds: int
@@ -98,6 +124,7 @@ class SamplerSpec(NamedTuple):
     target_min_dist: float
     go_back_mode: int              # 0 no, 1 yes, 2 random
     trials: int
+    redraws: int                   # whole-scenario re-draws on ok=False
 
     @staticmethod
     def from_config(cfg: EnvConfig) -> "SamplerSpec":
@@ -121,10 +148,9 @@ class SamplerSpec(NamedTuple):
         n, m = cfg.robot.total, cfg.ped_sim.total
         a = n + m
         bt = np.zeros(a, np.int64)
-        bp = np.zeros((a, 6), np.float64)
         tt = np.zeros(a, np.int64)
-        tp = np.zeros((a, 6), np.float64)
         mod = np.zeros(a, np.float64)
+        b_regs, t_regs = [], []
         for i in range(a):
             if i < n:
                 sh, sz = cfg.robot.shape[i], cfg.robot.size[i]
@@ -136,17 +162,33 @@ class SamplerSpec(NamedTuple):
                 b_t, b_p = cfg.ped_sim.begin_poses_type[j], cfg.ped_sim.begin_poses[j]
                 g_t, g_p = cfg.ped_sim.target_poses_type[j], cfg.ped_sim.target_poses[j]
             mod[i] = bounding_radius(sh, sz)
-            bt[i], bp[i] = _encode_type(b_t, b_p)
-            tt[i], tp[i] = _encode_type(g_t, g_p)
+            bt[i], br = _encode_type(b_t, b_p)
+            tt[i], tr = _encode_type(g_t, g_p)
+            b_regs.append(br)
+            t_regs.append(tr)
+        rmax = max([r.shape[0] for r in b_regs + t_regs] or [1])
+        bp = np.zeros((a, rmax, 6), np.float64)
+        tp = np.zeros((a, rmax, 6), np.float64)
+        bn = np.ones(a, np.int64)
+        tn = np.ones(a, np.int64)
+        for i in range(a):
+            bn[i] = b_regs[i].shape[0]
+            bp[i, : bn[i]] = b_regs[i]
+            bp[i, bn[i]:] = b_regs[i][-1]       # pad with last (never drawn)
+            tn[i] = t_regs[i].shape[0]
+            tp[i, : tn[i]] = t_regs[i]
+            tp[i, tn[i]:] = t_regs[i][-1]
         gb = {"no": 0, "yes": 1, "random": 2}[cfg.ped_sim.go_back]
         return SamplerSpec(
             obs_shape_circle=obs_circle, obs_size_range=obs_sr,
             obs_type=obs_t, obs_params=obs_p,
-            begin_type=bt, begin_params=bp, target_type=tt, target_params=tp,
+            begin_type=bt, begin_params=bp, begin_nreg=bn,
+            target_type=tt, target_params=tp, target_nreg=tn,
             module_size=mod, n_robots=n, n_peds=m,
             circle_ranges=tuple(cfg.circle_ranges),
             target_min_dist=float(cfg.target_min_dist),
             go_back_mode=gb, trials=int(cfg.reset_trials),
+            redraws=int(cfg.reset_redraws),
         )
 
 
@@ -160,22 +202,29 @@ class ScenarioSample(NamedTuple):
     ok: jnp.ndarray            # [] bool all agents placed cleanly
 
 
-def _propose(key, code, params, i, n_agents, circle_range, init_pose, trials):
-    """[T,3] candidate poses for one agent slot."""
+def _propose(key, code, regions, nreg, i, n_agents, circle_range, init_pose,
+             trials):
+    """-> ([T,3] candidate poses, [T,6] per-trial selected region params).
+
+    regions: [R,6] candidate boxes; ``*_multi`` pose types pick one region
+    uniformly per attempt (reset_helper.py:239,274) — here per trial.
+    """
     ks = jax.random.split(key, 4)
     u = jax.random.uniform(ks[0], (trials, 3))
     gauss = jax.random.normal(ks[1], (trials, 2)) * 0.5
-    box_x = params[0] + u[:, 0] * (params[1] - params[0])
-    box_y = params[2] + u[:, 1] * (params[3] - params[2])
-    box_th = params[4] + u[:, 2] * (params[5] - params[4])
+    ridx = jax.random.randint(ks[2], (trials,), 0, nreg)
+    p = regions[ridx]                                   # [T,6]
+    box_x = p[:, 0] + u[:, 0] * (p[:, 1] - p[:, 0])
+    box_y = p[:, 2] + u[:, 1] * (p[:, 3] - p[:, 2])
+    box_th = p[:, 4] + u[:, 2] * (p[:, 5] - p[:, 4])
 
     angle_rand = -3.14 + u[:, 0] * 6.28
     angle_fix = jnp.full((trials,), -3.14 + (6.28 / n_agents) * i)
     angle_from_init = jnp.full((trials,), init_pose[2])
 
     def mk_circle(angle, yaw_off, noisy):
-        x = circle_range * jnp.cos(angle) + params[0]
-        y = circle_range * jnp.sin(angle) + params[1]
+        x = circle_range * jnp.cos(angle) + p[:, 0]
+        y = circle_range * jnp.sin(angle) + p[:, 1]
         if noisy:
             x = x + gauss[:, 0]
             y = y + gauss[:, 1]
@@ -187,10 +236,9 @@ def _propose(key, code, params, i, n_agents, circle_range, init_pose, trials):
     vth = -3.14 + u[:, 2] * 6.28
     view_pose = jnp.stack([vx, vy, vth], -1)
 
-    fix_pose = jnp.broadcast_to(params[:3], (trials, 3))
+    fix_pose = jnp.broadcast_to(regions[0, :3], (trials, 3))
     rand_angle = jnp.stack(
-        [jnp.full((trials,), params[0]), jnp.full((trials,), params[1]),
-         params[2] + u[:, 2] * (params[3] - params[2])], -1)
+        [p[:, 0], p[:, 1], p[:, 2] + u[:, 2] * (p[:, 3] - p[:, 2])], -1)
     box_pose = jnp.stack([box_x, box_y, box_th], -1)
 
     cands = jnp.stack(
@@ -205,21 +253,23 @@ def _propose(key, code, params, i, n_agents, circle_range, init_pose, trials):
             mk_circle(angle_from_init, -3.14, False),   # CIRCLE_FIX (target)
         ]
     )
-    return cands[code]
+    return cands[code], p
 
 
-def _target_propose(key, code, params, i, n_agents, circle_range, init_pose, trials):
+def _target_propose(key, code, regions, nreg, i, n_agents, circle_range,
+                    init_pose, trials):
     """Target candidates: circle targets derive the angle from the start."""
-    base = _propose(key, code, params, i, n_agents, circle_range, init_pose, trials)
+    base, p = _propose(key, code, regions, nreg, i, n_agents, circle_range,
+                       init_pose, trials)
     gauss = jax.random.normal(jax.random.fold_in(key, 7), (trials, 2)) * 0.5
     angle = init_pose[2]
-    cx = circle_range * jnp.cos(angle) + params[0] + gauss[:, 0]
-    cy = circle_range * jnp.sin(angle) + params[1] + gauss[:, 1]
+    cx = circle_range * jnp.cos(angle) + p[:, 0] + gauss[:, 0]
+    cy = circle_range * jnp.sin(angle) + p[:, 1] + gauss[:, 1]
     circ = jnp.stack(
         [cx, cy, jnp.full((trials,), angle - 3.14)], -1
     )
     is_circle_range = (code == RANGE_CIRCLE) | (code == RANGE_CIRCLE_FIX)
-    return jnp.where(is_circle_range, circ, base)
+    return jnp.where(is_circle_range, circ, base), p
 
 
 def _clear_of_agents(cand_xy, poses, filled):
@@ -236,6 +286,7 @@ def _clear_of_obstacles(cand_xy, module, obs_pose, obs_radius):
 
 
 def _view_extra_valid(cands, code, init_pose, params):
+    """params: [T,6] per-trial selected region."""
     inner = (
         (cands[:, 0] >= init_pose[0] - _VIEW_BOX[0])
         & (cands[:, 0] <= init_pose[0] + _VIEW_BOX[0])
@@ -243,8 +294,8 @@ def _view_extra_valid(cands, code, init_pose, params):
         & (cands[:, 1] <= init_pose[1] + _VIEW_BOX[2])
     )
     in_range = (
-        (cands[:, 0] >= params[0]) & (cands[:, 0] <= params[1])
-        & (cands[:, 1] >= params[2]) & (cands[:, 1] <= params[3])
+        (cands[:, 0] >= params[:, 0]) & (cands[:, 0] <= params[:, 1])
+        & (cands[:, 1] >= params[:, 2]) & (cands[:, 1] <= params[:, 3])
     )
     ok = jnp.logical_not(inner) & in_range
     return jnp.where(code == RANGE_VIEW, ok, True)
@@ -290,9 +341,11 @@ def sample_scenario(key, spec: SamplerSpec) -> ScenarioSample:
 
     # ---- pre-fill fixed agent poses ----
     bt = jnp.asarray(spec.begin_type)
-    bp = jnp.asarray(spec.begin_params)
+    bp = jnp.asarray(spec.begin_params)       # [A,R,6]
+    bn = jnp.asarray(spec.begin_nreg)
     tt = jnp.asarray(spec.target_type)
     tp = jnp.asarray(spec.target_params)
+    tn = jnp.asarray(spec.target_nreg)
     mod = jnp.asarray(spec.module_size)
 
     init_poses = jnp.zeros((a, 3))
@@ -302,16 +355,17 @@ def sample_scenario(key, spec: SamplerSpec) -> ScenarioSample:
 
     kf = jax.random.split(k_agents, a + 1)
     pre_u = jax.random.uniform(kf[a], (a,))
-    fix_init = jnp.stack([bp[:, 0], bp[:, 1], bp[:, 2]], -1)
+    bp0, tp0 = bp[:, 0], tp[:, 0]             # fix/rand_angle: single region
+    fix_init = jnp.stack([bp0[:, 0], bp0[:, 1], bp0[:, 2]], -1)
     ra_init = jnp.stack(
-        [bp[:, 0], bp[:, 1], bp[:, 2] + pre_u * (bp[:, 3] - bp[:, 2])], -1
+        [bp0[:, 0], bp0[:, 1], bp0[:, 2] + pre_u * (bp0[:, 3] - bp0[:, 2])], -1
     )
     init_poses = jnp.where((bt == FIX)[:, None], fix_init, init_poses)
     init_poses = jnp.where((bt == RAND_ANGLE)[:, None], ra_init, init_poses)
     init_filled = (bt == FIX) | (bt == RAND_ANGLE)
-    fix_tgt = jnp.stack([tp[:, 0], tp[:, 1], tp[:, 2]], -1)
+    fix_tgt = jnp.stack([tp0[:, 0], tp0[:, 1], tp0[:, 2]], -1)
     ra_tgt = jnp.stack(
-        [tp[:, 0], tp[:, 1], tp[:, 2] + pre_u * (tp[:, 3] - tp[:, 2])], -1
+        [tp0[:, 0], tp0[:, 1], tp0[:, 2] + pre_u * (tp0[:, 3] - tp0[:, 2])], -1
     )
     target_poses = jnp.where((tt == FIX)[:, None], fix_tgt, target_poses)
     target_poses = jnp.where((tt == RAND_ANGLE)[:, None], ra_tgt, target_poses)
@@ -324,7 +378,8 @@ def sample_scenario(key, spec: SamplerSpec) -> ScenarioSample:
         k_b, k_t = jax.random.split(ki)
 
         need_b = jnp.logical_not(init_filled[i])
-        cands = _propose(k_b, bt[i], bp[i], i, a, circle_range, init_poses[i], t)
+        cands, _ = _propose(k_b, bt[i], bp[i], bn[i], i, a, circle_range,
+                            init_poses[i], t)
         valid = (
             _clear_of_agents(cands[:, :2], init_poses, init_filled)
             & _clear_of_obstacles(cands[:, :2], mod[i], obs_pose, obs_radius)
@@ -337,15 +392,15 @@ def sample_scenario(key, spec: SamplerSpec) -> ScenarioSample:
         all_ok = all_ok & (got | jnp.logical_not(need_b))
 
         need_t = jnp.logical_not(target_filled[i])
-        tc = _target_propose(
-            k_t, tt[i], tp[i], i, a, circle_range, init_poses[i], t
+        tc, tsel = _target_propose(
+            k_t, tt[i], tp[i], tn[i], i, a, circle_range, init_poses[i], t
         )
         tvalid = (
             (jnp.sum((tc[:, :2] - init_poses[i, :2]) ** 2, -1)
              > spec.target_min_dist**2)
             & _clear_of_agents(tc[:, :2], target_poses, target_filled)
             & _clear_of_obstacles(tc[:, :2], mod[i], obs_pose, obs_radius)
-            & _view_extra_valid(tc, tt[i], init_poses[i], tp[i])
+            & _view_extra_valid(tc, tt[i], init_poses[i], tsel)
         )
         # deterministic circle_fix target skips checks (reset_helper.py:260-265)
         det = tt[i] == CIRCLE_FIX
@@ -377,6 +432,31 @@ def sample_scenario(key, spec: SamplerSpec) -> ScenarioSample:
         init_poses=init_poses, target_poses=target_poses,
         go_back=go_back, ok=ok,
     )
+
+
+def sample_scenario_retry(key, spec: SamplerSpec) -> ScenarioSample:
+    """Bounded whole-scenario re-draw when placement fails (ok=False).
+
+    Mirrors the reference's recovery: circle layouts re-roll everyone after
+    50 rejection failures (reset_helper.py:251-258) and the frontend retries
+    reset up to 10 times (yaml_env.py:304-311).  Each re-draw folds the key,
+    so replay-by-key stays deterministic.
+    """
+    s0 = sample_scenario(key, spec)
+    if spec.redraws <= 0:
+        return s0
+
+    def cond(carry):
+        i, s = carry
+        return jnp.logical_not(s.ok) & (i < spec.redraws)
+
+    def body(carry):
+        i, _ = carry
+        s = sample_scenario(jax.random.fold_in(key, i + 1), spec)
+        return i + 1, s
+
+    _, s = jax.lax.while_loop(cond, body, (jnp.int32(0), s0))
+    return s
 
 
 def obstacle_corners(obs_pose, spec: SamplerSpec, obs_circle_r):
