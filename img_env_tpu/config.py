@@ -37,6 +37,15 @@ def _pad_list(lst: Sequence, n: int, pad_with_last: bool = True) -> list:
     return lst + [lst[-1]] * (n - len(lst))
 
 
+def _deep_tuple(x):
+    """Recursively freeze nested pose lists — ``*_multi`` pose types carry a
+    LIST of candidate regions per agent (reset_helper.py:239,274), so a pose
+    entry may itself be a list of 4/6-element boxes."""
+    if isinstance(x, (list, tuple)):
+        return tuple(_deep_tuple(v) for v in x)
+    return x
+
+
 @dataclass(frozen=True)
 class SpeedLimiterConfig:
     """ros_controllers-style limiter params (speed_limit.h:44-128)."""
@@ -87,9 +96,9 @@ class RobotConfig:
             shape=tuple(_pad_list(d.get("shape", ["circle"]), n)),
             size=tuple(tuple(s) for s in _pad_list(d.get("size", [[0, 0, 0.17]]), n)),
             begin_poses_type=tuple(_pad_list(d.get("begin_poses_type", ["range"]), n)),
-            begin_poses=tuple(tuple(p) for p in _pad_list(d.get("begin_poses", [[0.5, 9.5, 0.5, 9.5]]), n)),
+            begin_poses=_deep_tuple(_pad_list(d.get("begin_poses", [[0.5, 9.5, 0.5, 9.5]]), n)),
             target_poses_type=tuple(_pad_list(d.get("target_poses_type", ["range"]), n)),
-            target_poses=tuple(tuple(p) for p in _pad_list(d.get("target_poses", [[0.5, 9.5, 0.5, 9.5]]), n)),
+            target_poses=_deep_tuple(_pad_list(d.get("target_poses", [[0.5, 9.5, 0.5, 9.5]]), n)),
             sensor_cfgs=tuple(tuple(s) for s in _pad_list(sensor, n)),
         )
 
@@ -130,6 +139,11 @@ class PedSimConfig:
     target_poses: Tuple[Any, ...] = ()
     go_back: str = "yes"
     ignore_obstacle: bool = False
+    # Scripted per-ped waypoint lists [(x, y[, r]), ...] — the reference's
+    # ``Agent.trajectory`` channel (img_env.cpp:220-250, cycled by
+    # agent.cpp:839-843; r is the pedsim waypoint radius, pedscene.h:39-47).
+    # Peds with an empty list use the sampled goal (+ return when go_back).
+    waypoints: Tuple[Any, ...] = ()
 
     @staticmethod
     def from_dict(d: Optional[dict]) -> "PedSimConfig":
@@ -144,11 +158,12 @@ class PedSimConfig:
             shape=tuple(_pad_list(d.get("shape", ["circle"]), n)),
             size=tuple(tuple(s) for s in _pad_list(d.get("size", [[0, 0, 0.17]]), n)),
             begin_poses_type=tuple(_pad_list(d.get("begin_poses_type", ["range"]), n)),
-            begin_poses=tuple(tuple(p) for p in _pad_list(d.get("begin_poses", [[0.5, 9.5, 0.5, 9.5]]), n)),
+            begin_poses=_deep_tuple(_pad_list(d.get("begin_poses", [[0.5, 9.5, 0.5, 9.5]]), n)),
             target_poses_type=tuple(_pad_list(d.get("target_poses_type", ["range"]), n)),
-            target_poses=tuple(tuple(p) for p in _pad_list(d.get("target_poses", [[0.5, 9.5, 0.5, 9.5]]), n)),
+            target_poses=_deep_tuple(_pad_list(d.get("target_poses", [[0.5, 9.5, 0.5, 9.5]]), n)),
             go_back=d.get("go_back", "yes"),
             ignore_obstacle=bool(d.get("ignore_obstacle", False)),
+            waypoints=_deep_tuple(_pad_list(d.get("waypoints", [[]]), n)),
         )
 
 
@@ -214,6 +229,10 @@ class EnvConfig:
     circle_ranges: Tuple[float, float] = (1.8, 2.0)
     target_min_dist: float = 1.0
 
+    # --- external-sim frontend (gazebo_env.py:222-225) -----------------------
+    start_global_pose: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    target_global_pose: Tuple[float, ...] = (0.0, 10.0)
+
     # --- sub-configs ---------------------------------------------------------
     robot: RobotConfig = field(default_factory=RobotConfig)
     object: ObjectConfig = field(default_factory=ObjectConfig)
@@ -235,6 +254,12 @@ class EnvConfig:
                                       #   scale*view_resolution)
     max_obs_segments: int = 16        # ORCA obstacle segments per agent
     reset_trials: int = 64            # bounded rejection-sampling trials
+    reset_redraws: int = 10           # whole-scenario re-draws when a sample
+                                      #   reports ok=False (reference re-rolls
+                                      #   circle layouts after 50 fails and
+                                      #   retries reset <=10x,
+                                      #   reset_helper.py:251-258,
+                                      #   yaml_env.py:304-311)
     map_dir: str = _DEF_MAP_DIR
 
     # ------------------------------------------------------------------------
@@ -294,7 +319,8 @@ class EnvConfig:
             "view_angle_begin", "view_angle_end", "view_min_dist",
             "view_max_dist", "beep_r", "ped_ca_p", "relation_ped_robo",
             "target_min_dist", "num_scenes", "sensor_mode", "fill_mode",
-            "fast_sensor_scale", "max_obs_segments", "reset_trials", "map_dir",
+            "fast_sensor_scale", "max_obs_segments", "reset_trials",
+            "reset_redraws", "map_dir",
         ]
         for f in simple_fields:
             if f in raw and raw[f] is not None:
@@ -305,6 +331,10 @@ class EnvConfig:
             kw["ped_image_size"] = tuple(raw["ped_image_size"])
         if "circle_ranges" in raw:
             kw["circle_ranges"] = tuple(raw["circle_ranges"])
+        if "start_global_pose" in raw:
+            kw["start_global_pose"] = tuple(raw["start_global_pose"])
+        if "target_global_pose" in raw:
+            kw["target_global_pose"] = tuple(raw["target_global_pose"])
         if "discrete_actions" in raw:
             kw["discrete_actions"] = tuple(tuple(a) for a in raw["discrete_actions"])
         if "continuous_actions" in raw:

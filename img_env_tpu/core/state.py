@@ -36,8 +36,11 @@ class PedState(NamedTuple):
     yaw: jnp.ndarray           # [M]
     prev_pos: jnp.ndarray      # [M,2] position before the last crowd step
     vel: jnp.ndarray           # [M,2] world-frame velocity
+    goal: jnp.ndarray          # [M,2] sampled target (pedsim's first
+                               #   waypoint, pedscene.h:41-42)
     # --- img_env-level waypoint cycling (agent.cpp:823-843) ---
-    traj: jnp.ndarray          # [M,W,2] waypoints (goal[, start]) padded
+    traj: jnp.ndarray          # [M,W,2] waypoints (goal[, start] or the
+                               #   scripted Agent.trajectory list) padded
     traj_len: jnp.ndarray      # [M] int32 number of valid waypoints
     traj_idx: jnp.ndarray      # [M] int32 cur_traj_index_
     # --- leg gait (agent.cpp:696-735) ---
@@ -100,3 +103,8 @@ class Observation(NamedTuple):
     ped_maps: jnp.ndarray           # [N,3,48,48]
     step_ds: jnp.ndarray            # [N]
     ped_min_dists: jnp.ndarray      # [N]
+    # AgentState extras the reference ships per robot (img_env.cpp:566-571):
+    # the 72-bin min-pooled angular map and per-beam hit points in the base
+    # frame (hit * cos/sin of the beam angle, agent.cpp:434-436).
+    angular_maps: jnp.ndarray = None   # [N,72]
+    hit_points: jnp.ndarray = None     # [N,range_total,2]

@@ -44,7 +44,12 @@ from img_env_tpu.dynamics.kinematics import batched_robot_cmd
 from img_env_tpu.dynamics.limiter import LimiterParams
 from img_env_tpu.env import maps as maps_mod
 from img_env_tpu.env import observe, rewards
-from img_env_tpu.env.sampler import SamplerSpec, obstacle_corners, sample_scenario
+from img_env_tpu.env.sampler import (
+    SamplerSpec,
+    obstacle_corners,
+    sample_scenario_retry,
+)
+from img_env_tpu.ops import painter as painter_mod
 from img_env_tpu.ops import polar as polar_mod
 from img_env_tpu.ops import raster
 from img_env_tpu.ops.footprint import circle_points, rectangle_points
@@ -86,6 +91,9 @@ class EnvStatics(NamedTuple):
     ped_is_leg: np.ndarray         # [M]
     ped_r: np.ndarray              # [M] body radius, rounded 2dp
     ped_max_speed: np.ndarray      # [M]
+    ped_wp_xy: np.ndarray          # [M,W,2] scripted waypoints (pad 0)
+    ped_wp_r: np.ndarray           # [M,W] pedsim waypoint radii
+    ped_wp_count: np.ndarray       # [M] scripted count (0 -> goal/go_back)
     obs_points: np.ndarray         # [O,P,2]
     obs_point_dist: np.ndarray     # [O,P]
     obs_base_mask: np.ndarray      # [O,P]
@@ -101,6 +109,7 @@ class EnvStatics(NamedTuple):
     limiter_v: LimiterParams
     limiter_w: LimiterParams
     orca_cfg: orca_mod.OrcaConfig
+    painter: object = None         # painter_mod.PainterStatics (laser decode)
 
 
 def build_statics(cfg: EnvConfig) -> EnvStatics:
@@ -146,6 +155,19 @@ def build_statics(cfg: EnvConfig) -> EnvStatics:
             left_clouds.append(np.zeros((0, 2), np.float32))
             right_clouds.append(np.zeros((0, 2), np.float32))
             ped_r[j] = round(sz[2], 2)
+    # scripted waypoint lists (Agent.trajectory channel, img_env.cpp:220-250)
+    wp_lists = [list(cfg.ped_sim.waypoints[j]) if cfg.ped_sim.waypoints else []
+                for j in range(m)]
+    wmax = max([2] + [len(w) for w in wp_lists])
+    wp_xy = np.zeros((m, wmax, 2), np.float64)
+    wp_r = np.zeros((m, wmax), np.float64)
+    wp_cnt = np.zeros(m, np.int64)
+    for j in range(m):
+        for k, wpt in enumerate(wp_lists[j]):
+            wp_xy[j, k] = wpt[0], wpt[1]
+            wp_r[j, k] = wpt[2] if len(wpt) > 2 else 0.0
+        wp_cnt[j] = len(wp_lists[j])
+
     if m == 0:
         body_clouds = [np.zeros((0, 2), np.float32)]
         left_clouds = [np.zeros((0, 2), np.float32)]
@@ -213,6 +235,7 @@ def build_statics(cfg: EnvConfig) -> EnvStatics:
         ped_right_points=pr, ped_right_mask=prm,
         ped_rest_left=rest_l, ped_rest_right=rest_r,
         ped_is_leg=is_leg, ped_r=ped_r, ped_max_speed=ped_ms,
+        ped_wp_xy=wp_xy, ped_wp_r=wp_r, ped_wp_count=wp_cnt,
         obs_points=op, obs_point_dist=od, obs_base_mask=om, obs_is_circle=obs_circ,
         view_params=vp, view_statics=vs, polar=ps,
         own_view_cells=ovc, own_view_valid=ovm,
@@ -224,6 +247,8 @@ def build_statics(cfg: EnvConfig) -> EnvStatics:
             time_step=float(cfg.control_hz),
             max_obs_segments=int(cfg.max_obs_segments),
         ),
+        painter=(painter_mod.PainterStatics.build(ps, sensor0)
+                 if vp.use_laser and cfg.sensor_mode != "reference" else None),
     )
 
 
@@ -240,10 +265,13 @@ class NavEnv:
             tables = polar_mod.make_tables(self.statics.polar)
             # per-robot static self-stamp mask: the runtime stamp becomes
             # one elementwise select instead of a scalar-rate scatter
-            self.sensor_tables = tables._replace(own_mask=jax.device_put(
-                jnp.asarray(polar_mod.own_mask_sorted(
-                    self.statics.polar, self.statics.own_slots,
-                    self.statics.own_slots_ok))))
+            self.sensor_tables = tables._replace(
+                own_mask=jax.device_put(
+                    jnp.asarray(polar_mod.own_mask_sorted(
+                        self.statics.polar, self.statics.own_slots,
+                        self.statics.own_slots_ok))),
+                painter=(painter_mod.make_painter_tables(self.statics.painter)
+                         if self.statics.painter is not None else None))
         else:
             self.sensor_tables = None
         # FOV-fill backend: the Pallas matmul kernel replaces XLA's scalar
@@ -270,7 +298,9 @@ class NavEnv:
         cfg = self.cfg
         n, m = cfg.robot.total, cfg.ped_sim.total
         k_sample, k_state = jax.random.split(key)
-        sc = sample_scenario(k_sample, st.sampler)
+        # bounded re-draws consume ScenarioSample.ok (reference recovery:
+        # reset_helper.py:251-258, yaml_env.py:304-311)
+        sc = sample_scenario_retry(k_sample, st.sampler)
 
         # obstacle map: stamp sampled footprints into the static map
         dyn_mask = jnp.asarray(st.obs_base_mask) & (
@@ -300,15 +330,24 @@ class NavEnv:
             beep=jnp.zeros((n,), jnp.int32),
         )
 
-        # trajectory: [goal] (+[start] when going back), reset_helper.py:337-342
-        wmax = 2
+        # trajectory: scripted waypoints when configured (Agent.trajectory,
+        # img_env.cpp:243-250), else [goal] (+[start] when going back,
+        # reset_helper.py:337-342); cycled by agent.cpp:839-843 semantics.
+        wmax = int(st.ped_wp_xy.shape[1]) if m else 2
         traj = jnp.zeros((m, wmax, 2))
         if m:
             traj = traj.at[:, 0].set(ped_goal[:, :2])
             traj = traj.at[:, 1].set(
                 jnp.where(sc.go_back[:, None], ped_init[:, :2], ped_goal[:, :2])
             )
-        traj_len = jnp.where(sc.go_back, 2, 1).astype(jnp.int32) if m else jnp.zeros((0,), jnp.int32)
+            scripted = jnp.asarray(st.ped_wp_count) > 0
+            traj = jnp.where(scripted[:, None, None],
+                             jnp.asarray(st.ped_wp_xy), traj)
+            traj_len = jnp.where(
+                scripted, jnp.asarray(st.ped_wp_count),
+                jnp.where(sc.go_back, 2, 1)).astype(jnp.int32)
+        else:
+            traj_len = jnp.zeros((0,), jnp.int32)
 
         if dataset is not None:
             ds_traj, ds_vel, ds_len = (
@@ -331,6 +370,7 @@ class NavEnv:
             yaw=ped_init[:, 2],
             prev_pos=ped_init[:, :2],
             vel=ped_vel0,
+            goal=ped_goal[:, :2],
             traj=traj,
             traj_len=traj_len,
             traj_idx=jnp.zeros((m,), jnp.int32),
@@ -358,10 +398,21 @@ class NavEnv:
             aabb=aabb,
         )
 
+        # episode-aware clearance field: EDT of static map + sampled
+        # obstacles (the map is fresh per episode, img_env.cpp:169-193).
+        # MpcController's WorldCost reads this instead of a host-side
+        # static-only EDT, so MPC clearance sees the episode obstacles.
+        from img_env_tpu.constants import CELL_FREE_MIN
+        from img_env_tpu.mpc.edt import edt2d_device
+
+        clip = int(min(256, max(64, math.ceil(2.0 / st.resolution))))
+        obs_edt = edt2d_device(
+            obs_map < CELL_FREE_MIN, st.resolution, clip_cells=clip)
+
         state = WorldState(
             robots=robots, peds=peds, crowd_aux=crowd_aux, obstacles=obstacles,
             obs_map=obs_map,
-            obs_edt=jnp.zeros((1, 1)),
+            obs_edt=obs_edt,
             step=jnp.asarray(0, jnp.int32),
             rng=k_state,
             prev_goal_dist=jnp.zeros((n,)),
@@ -480,16 +531,16 @@ class NavEnv:
             valid = jnp.concatenate(
                 [jnp.ones((m,), bool), jnp.full((n,), rel)]
             )
+            wq = 1 + state.peds.traj.shape[1]   # [goal] + trajectory slots
             wp = sfm_mod.SfmWaypointState(
                 wp_xy=jnp.concatenate(
-                    [self._sfm_wp_xy(state), jnp.zeros((n, 3, 2))]
+                    [self._sfm_wp_xy(state), jnp.zeros((n, wq, 2))]
                 ),
                 wp_r=jnp.concatenate(
-                    [self._sfm_wp_r(state), jnp.zeros((n, 3))]
+                    [self._sfm_wp_r(state), jnp.zeros((n, wq))]
                 ),
                 wp_len=jnp.concatenate(
-                    [2 + (state.peds.traj_len > 1).astype(jnp.int32),
-                     jnp.zeros((n,), jnp.int32)]
+                    [1 + state.peds.traj_len, jnp.zeros((n,), jnp.int32)]
                 ),
                 dest_idx=jnp.concatenate(
                     [peds.sfm_wp_idx, jnp.zeros((n,), jnp.int32)]
@@ -543,14 +594,17 @@ class NavEnv:
         return new_peds, new_aux, beeps
 
     def _sfm_wp_xy(self, state):
-        m = self.cfg.ped_sim.total
-        goal = state.peds.traj[:, 0]
-        start = state.peds.traj[:, 1]
-        return jnp.stack([goal, goal, start], axis=1)
+        # pedsim queue = [goal (r=1)] + Agent.trajectory (pedscene.h:39-47)
+        return jnp.concatenate(
+            [state.peds.goal[:, None], state.peds.traj], axis=1)
 
     def _sfm_wp_r(self, state):
         m = self.cfg.ped_sim.total
-        return jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (m, 3))
+        w = state.peds.traj.shape[1]
+        scripted = (jnp.asarray(self.statics.ped_wp_count) > 0)[:, None]
+        traj_r = jnp.where(scripted, jnp.asarray(self.statics.ped_wp_r),
+                           jnp.zeros((m, w)))
+        return jnp.concatenate([jnp.ones((m, 1)), traj_r], axis=1)
 
     def _sfm_head(self, state):
         return state.peds.sfm_lastdest  # head travels in the lastdest slot
@@ -612,12 +666,23 @@ class NavEnv:
                     ps, layers.packed, st.resolution, state.robots.pose, t=t,
                 )
             if vp.use_laser:
-                hits, angular = polar_mod.raycast_batched(ps, occ, t=t)
-                vals = polar_mod.shadow_values_sorted(ps, occ, hits, t=t)
+                hits, angular, aux = polar_mod.raycast_batched(
+                    ps, occ, t=t, return_aux=True)
+                # exact per-ray painter decode (agent.cpp:511-624): the
+                # laser view map is an all-200 canvas painted by the beams
+                # in index order — bit-identical to the sequential trace
+                pt = t.painter if t is not None else None
+                s_hit, s_tail = painter_mod.hit_steps(
+                    st.painter, *aux, t=pt)
+                vals = painter_mod.paint_sorted(st.painter, s_hit, s_tail,
+                                                t=pt)
             else:
                 hits = jnp.full((n, vp.range_total), 6.0)
                 angular = jnp.full((n, 72), vp.max_dist)
-                vals = polar_mod.plain_values_sorted(ps, occ, t=t)
+                inside = polar_mod.inside_sorted(
+                    ps, layers.packed.shape, st.resolution,
+                    state.robots.pose, t=t)
+                vals = polar_mod.plain_values_sorted(ps, occ, inside, t=t)
             if t is not None and t.own_mask is not None:
                 vals = polar_mod.stamp_self_mask(vals, t.own_mask)
             else:
@@ -650,6 +715,12 @@ class NavEnv:
 
         lasers = observe.norm_lasers(hits, float(cfg.laser_max), cfg.laser_norm)
 
+        # AgentState extras (img_env.cpp:566-571): hit points are the raw hit
+        # distances projected onto the beam directions (agent.cpp:434-436)
+        beam_ang = jnp.asarray(st.view_statics.laser.angles)
+        hit_points = hits[..., None] * jnp.stack(
+            [jnp.cos(beam_ang), jnp.sin(beam_ang)], -1)[None]
+
         obs = Observation(
             vector_states=vec,
             sensor_maps=sensor_maps,
@@ -660,6 +731,8 @@ class NavEnv:
             ped_maps=ped_map,
             step_ds=step_ds,
             ped_min_dists=ped_min,
+            angular_maps=angular,
+            hit_points=hit_points,
         )
         new_state = state._replace(
             robots=state.robots._replace(collision=collision),

@@ -64,6 +64,19 @@ class MpcController:
         return MpcState(nominal=jnp.zeros((n, self.cfg.horizon, 2)))
 
     def world_cost(self, state: WorldState) -> WorldCost:
+        """Episode clearance field from ``WorldState.obs_edt`` (computed at
+        reset over static map + sampled obstacles, env/nav_env.py), so no
+        per-sample analytic obstacle terms are needed — one EDT lookup
+        covers all O obstacles.  Falls back to the host static EDT + AABB
+        terms when a caller passes a state without the episode EDT."""
+        if state.obs_edt.shape[0] > 1:
+            return WorldCost(
+                edt=state.obs_edt,
+                resolution=self.env.statics.resolution,
+                obs_aabb=jnp.zeros((0, 4)),
+                obs_valid=jnp.zeros((0,), bool),
+                robot_radius=self.robot_radius,
+            )
         o = state.obstacles.aabb.shape[0]
         return WorldCost(
             edt=self.static_edt,
