@@ -211,7 +211,13 @@ def make_env(cfg: Union[str, dict, EnvConfig], seed: int = 0, **kw):
 
         return HardwareEnv(cfg, **kw)
     if cfg.env_type == "gazebo_env":
-        raise NotImplementedError(
-            "gazebo_env requires a Gazebo installation; use env_type "
-            "'robot_nav' (simulator) or 'real_env' (hardware facade)")
+        from img_env_tpu.env.external_env import ExternalSimEnv
+
+        if "transport" not in kw:
+            raise ValueError(
+                "env_type 'gazebo_env' needs a transport= keyword: an "
+                "ExternalSimTransport bundling the simulator callbacks "
+                "(scan, model state, cmd, contact — the gazebo_env.py "
+                "service surface). A rospy bridge is a few lines host-side.")
+        return ExternalSimEnv(cfg, **kw)
     return ImgNavEnv(cfg, seed=seed, **kw)

@@ -1,0 +1,143 @@
+"""ExternalSimEnv (GazeboEnv contract) against a scripted mock simulator."""
+
+import math
+
+import numpy as np
+import pytest
+
+from img_env_tpu.config import EnvConfig
+from img_env_tpu.env.external_env import ExternalSimEnv, ExternalSimTransport
+from img_env_tpu.env.gymapi import make_env
+from img_env_tpu.env.hardware_env import ScanSample, TrackedPed
+
+
+class MockSim:
+    """Kinematic unicycle world with one wall and one pedestrian."""
+
+    def __init__(self, dt=0.4, n_beams=90):
+        self.pose = np.zeros(3)
+        self.cmd = (0.0, 0.0)
+        self.dt = dt
+        self.n_beams = n_beams
+        self.contacts = 0
+        self.wall_x = 2.0          # wall at x = 2 m (facing +x from origin)
+
+    # --- transport callbacks ---------------------------------------------
+    def set_model_state(self, x, y, yaw):
+        self.pose = np.asarray([x, y, yaw], np.float64)
+
+    def get_model_state(self):
+        return tuple(self.pose)
+
+    def send_cmd(self, v, w):
+        self.cmd = (v, w)
+        # integrate immediately (the mock "runs" while env sleeps)
+        x, y, th = self.pose
+        self.pose = np.asarray([
+            x + v * math.cos(th) * self.dt,
+            y + v * math.sin(th) * self.dt,
+            th + w * self.dt])
+        if self.pose[0] > self.wall_x - 0.05:
+            self.contacts += 1
+            self.pose[0] = self.wall_x - 0.05
+
+    def get_scan(self):
+        # distance to the wall plane along each beam (base frame)
+        ang = -math.pi / 2 + math.pi * np.arange(self.n_beams) / self.n_beams
+        world_ang = ang + self.pose[2]
+        dx = self.wall_x - self.pose[0]
+        with np.errstate(divide="ignore"):
+            r = np.where(np.cos(world_ang) > 1e-6, dx / np.cos(world_ang),
+                         np.inf)
+        return ScanSample(ranges=np.clip(r, 0, np.inf), angle_min=ang[0],
+                          angle_increment=math.pi / self.n_beams)
+
+    def get_contact(self):
+        c = self.contacts > 0
+        self.contacts = 0
+        return c
+
+    def get_peds(self):
+        return [TrackedPed(xy_world=(1.0, 1.0), v_world=(0.1, 0.0))]
+
+
+def _env(sim, target=(0.0, 3.0)):
+    cfg = EnvConfig.from_dict({
+        "robot": {"total": 1},
+        "ped_sim": {"total": 0},
+        "global_map": {"resolution": 0.1, "map_file": "room_10.png"},
+        "view_map": {"resolution": 0.05, "width": 3, "height": 3},
+        "env_type": "gazebo_env",
+        "range_total": sim.n_beams,
+        "robot_radius": 0.17,
+        "start_global_pose": [0.0, 0.0, 0.0],
+        "target_global_pose": list(target),
+    })
+    t = ExternalSimTransport(
+        get_scan=sim.get_scan, get_model_state=sim.get_model_state,
+        set_model_state=sim.set_model_state, send_cmd=sim.send_cmd,
+        get_contact=sim.get_contact, get_peds=sim.get_peds)
+    env = make_env(cfg, transport=t)
+    env.real_time = False
+    assert isinstance(env, ExternalSimEnv)
+    return env
+
+
+def test_reset_teleports_and_observes():
+    sim = MockSim()
+    sim.pose = np.asarray([5.0, 5.0, 1.0])
+    env = _env(sim)
+    obs = env.reset()
+    np.testing.assert_allclose(sim.pose, [0, 0, 0])
+    # goal (0,3) in base frame at pose (0,0,0) -> (0,3)
+    np.testing.assert_allclose(obs["vector_states"][0][:2], [0, 3], atol=1e-9)
+    assert obs["lasers"].shape == (1, sim.n_beams)
+    assert obs["ped_vector_states"][0][0] == 1  # one tracked ped
+
+
+def test_arrival_done_code():
+    sim = MockSim()
+    env = _env(sim, target=(1.2, 0.0))
+    env.reset()
+    done_code = 0
+    for _ in range(10):
+        obs, r, done, info = env.step([0.3, 0.0])
+        if done[0]:
+            done_code = int(info["dones_info"][0])
+            break
+    assert done_code == 5 and info["arrive"]
+
+
+def test_contact_collision_done_code():
+    sim = MockSim()
+    env = _env(sim, target=(0.0, 8.0))   # goal far; robot drives at the wall
+    env.reset()
+    code = 0
+    for _ in range(30):
+        obs, r, done, info = env.step([0.6, 0.0])
+        if done[0]:
+            code = int(info["dones_info"][0])
+            break
+    assert code == 1 and env.is_collision == 1
+
+
+def test_min_laser_collision_without_contact():
+    sim = MockSim()
+    env = _env(sim, target=(0.0, 8.0))
+    env.reset()
+    # place the robot close to the wall but not touching: min laser below
+    # the close-distance threshold must flag collision (gazebo_env.py:301)
+    sim.pose = np.asarray([sim.wall_x - 0.1, 0.0, 0.0])
+    obs, r, done, info = env.step([0.0, 0.0])
+    assert int(info["dones_info"][0]) == 1
+
+
+def test_make_env_requires_transport():
+    cfg = EnvConfig.from_dict({
+        "robot": {"total": 1}, "ped_sim": {"total": 0},
+        "global_map": {"resolution": 0.1, "map_file": "room_10.png"},
+        "view_map": {"resolution": 0.05, "width": 3, "height": 3},
+        "env_type": "gazebo_env",
+    })
+    with pytest.raises(ValueError):
+        make_env(cfg)
