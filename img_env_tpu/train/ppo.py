@@ -30,6 +30,9 @@ class PpoConfig(NamedTuple):
     vf_coef: float = 0.5
     ent_coef: float = 0.01
     lr: float = 3e-4
+    epochs: int = 4             # passes over the rollout per update
+    minibatches: int = 4        # shuffled minibatches per epoch
+    max_grad_norm: float = 0.5  # global-norm gradient clip
 
 
 class TrainState(NamedTuple):
@@ -60,7 +63,10 @@ def make_train_step(
     tx: Optional[optax.GradientTransformation] = None,
 ):
     """Returns (init_fn(params), train_step(ts, states, obs, key))."""
-    tx = tx or optax.adam(cfg.lr)
+    tx = tx or optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr),
+    )
     use_ped = env.cfg.ped_sim.total > 0
     ranges = env.cfg.continuous_actions
     n_rob = env.cfg.robot.total
@@ -104,21 +110,14 @@ def make_train_step(
         )
         return advs
 
-    def loss_fn(params, traj, last_value):
-        feats, act, logp_old, value_old, reward, done = traj
-        advs = gae(value_old, reward, done, last_value)
-        returns = advs + value_old
+    def minibatch_loss(params, mb):
+        """Clipped PPO loss on one shuffled minibatch [MB, ...]."""
+        feats, act, logp_old, advs, returns = mb
         advs = (advs - advs.mean()) / (advs.std() + 1e-8)
-
-        def per_step(f, a):
-            d = _dist(params, f)
-            mean, log_std, value = d
-            logp = (-0.5 * ((a - mean) / jnp.exp(log_std)) ** 2
-                    - log_std - 0.5 * jnp.log(2 * jnp.pi)).sum(-1)
-            ent = (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)).sum(-1)
-            return logp, ent, value
-
-        logp, ent, value = jax.vmap(per_step)(feats, act)
+        mean, log_std, value = _dist(params, feats)
+        logp = (-0.5 * ((act - mean) / jnp.exp(log_std)) ** 2
+                - log_std - 0.5 * jnp.log(2 * jnp.pi)).sum(-1)
+        ent = (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)).sum(-1)
         ratio = jnp.exp(logp - logp_old)
         pg = -jnp.minimum(
             ratio * advs,
@@ -126,20 +125,54 @@ def make_train_step(
         ).mean()
         vf = 0.5 * ((value - returns) ** 2).mean()
         loss = pg + cfg.vf_coef * vf - cfg.ent_coef * ent.mean()
-        return loss, {"pg_loss": pg, "vf_loss": vf, "entropy": ent.mean(),
-                      "reward_mean": reward.mean()}
+        return loss, {"pg_loss": pg, "vf_loss": vf, "entropy": ent.mean()}
 
     def train_step(ts: TrainState, states, obs, key):
-        k_roll, k_loss = jax.random.split(key)
+        """One PPO update: unroll -> GAE -> epochs x shuffled minibatches of
+        clipped updates with global-norm gradient clipping."""
+        k_roll, k_perm = jax.random.split(key)
         states, obs, traj = rollout(ts.params, states, obs, k_roll)
+        feats, act, logp_old, value_old, reward, done = traj
         feats_last = obs_features(obs, use_ped)
-        dist_last = _dist(ts.params, feats_last)
-        last_value = dist_last[-1]
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            ts.params, traj, last_value)
-        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
-        params = optax.apply_updates(ts.params, updates)
-        metrics["loss"] = loss
+        last_value = _dist(ts.params, feats_last)[-1]
+        advs = gae(value_old, reward, done, last_value)
+        returns = advs + value_old
+
+        # flatten [T, B, ...] -> [T*B, ...]
+        flat = lambda x: (x.reshape((-1,) + x.shape[2:])
+                          if x is not None else None)
+        data = (tuple(flat(f) for f in feats), flat(act), flat(logp_old),
+                flat(advs), flat(returns))
+        tb = data[1].shape[0]
+        n_mb = max(1, min(cfg.minibatches, tb))
+        mb_size = tb // n_mb
+        take = lambda x, idx: (None if x is None else x[idx])
+
+        def epoch_body(carry, k):
+            params, opt_state = carry
+            perm = jax.random.permutation(k, tb)
+            idxs = perm[: mb_size * n_mb].reshape(n_mb, mb_size)
+
+            def mb_body(carry, idx):
+                params, opt_state = carry
+                mb = (tuple(take(f, idx) for f in data[0]),
+                      *(take(x, idx) for x in data[1:]))
+                (loss, m), grads = jax.value_and_grad(
+                    minibatch_loss, has_aux=True)(params, mb)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                m["loss"] = loss
+                return (params, opt_state), m
+
+            (params, opt_state), ms = jax.lax.scan(
+                mb_body, (params, opt_state), idxs)
+            return (params, opt_state), ms
+
+        keys = jax.random.split(k_perm, cfg.epochs)
+        (params, opt_state), ms = jax.lax.scan(
+            epoch_body, (ts.params, ts.opt_state), keys)
+        metrics = {k: v.mean() for k, v in ms.items()}
+        metrics["reward_mean"] = reward.mean()
         return TrainState(params, opt_state, ts.step + 1), states, obs, metrics
 
     return init_fn, train_step
