@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--watch", type=int, default=0, metavar="K",
                     help="re-render --render every K steps (live show_gui"
                          " flavor: watch the PNG in an image viewer)")
+    ap.add_argument("--gui", action="store_true",
+                    help="live show_gui window (map + goal labels + view"
+                         " tiles), cv2/matplotlib backend auto-picked")
     args = ap.parse_args()
 
     import jax
@@ -66,6 +69,12 @@ def main():
     key = jax.random.PRNGKey(0)
     state, obs = env.reset(key)
     mstate = ctl.init_state()
+    viewer = None
+    if args.gui:
+        from img_env_tpu.eval.live_view import LiveViewer
+
+        viewer = LiveViewer(env.statics, cfg)
+        viewer.update(state, np.asarray(obs.sensor_maps))
     d0 = float(np.linalg.norm(
         np.asarray(state.robots.goal) - np.asarray(state.robots.pose[:, :2]),
         axis=-1).mean())
@@ -81,6 +90,8 @@ def main():
             print(f"step {t+1}: goal dists {np.round(d, 2)} "
                   f"arrive={np.asarray(state.robots.arrive).astype(int)} "
                   f"coll={np.asarray(state.robots.collision)}")
+        if viewer is not None:
+            viewer.update(state, np.asarray(obs.sensor_maps))
         if args.watch and args.render and (t + 1) % args.watch == 0:
             from img_env_tpu.eval.render import render_frame, save_png
 

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from img_env_tpu.eval.recorder import (
     EpisodeRecorder,
@@ -89,3 +90,77 @@ def test_render_frame():
     assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
     tiles = render_tiles(obs.sensor_maps)
     assert tiles.shape[2] == 3
+
+
+def test_live_viewer_composite_headless():
+    """show_gui composite (img_env.cpp:676-710): map+labels left, framed
+    view tiles right; headless backend keeps the frame retrievable and the
+    runtime toggle stops/resumes updates."""
+    from tests.test_parallel import tiny_cfg
+    from img_env_tpu.env.nav_env import NavEnv
+    from img_env_tpu.eval.live_view import LiveViewer, compose_gui
+
+    env = NavEnv(tiny_cfg(robots=3, peds=1), jit=False)
+    state, obs = env.reset_fn(jax.random.PRNGKey(0))
+    sm = np.asarray(obs.sensor_maps)
+
+    img = compose_gui(state, env.statics, sm, env.cfg, window_height=240)
+    assert img.dtype == np.uint8 and img.shape[0] >= 240
+    assert img.shape[1] > 240          # map panel + tile column
+    # red tile frames present in the right panel
+    right = img[:, -96:]
+    assert (right == np.asarray([255, 0, 0])).all(-1).any()
+
+    v = LiveViewer(env.statics, env.cfg, backend="none", window_height=240)
+    out = v.update(state, sm)
+    assert out is not None and v.last_frame is not None
+    v.on = False                        # the runtime show_gui toggle
+    assert v.update(state, sm) is None
+    v.on = True
+    assert v.update(state, sm) is not None
+    v.close()
+
+
+def test_bagreader_indicators_and_comparison(tmp_path):
+    """BagReader.cal_indicator parity surface: per-robot rates + extra
+    time/distance conditioned on arrivals, and the 2-method comparison
+    figure + csv (bag.py:897-1109)."""
+    from img_env_tpu.eval.plots import compare_methods, per_robot_indicators
+    from img_env_tpu.eval.recorder import EpisodeRecorder, EpisodeRecord
+
+    def synth(v, outcome):
+        """Straight-line episode at speed v toward a goal 4 m away."""
+        rec = EpisodeRecord()
+        steps = int(4.0 / (v * 0.4)) + 2
+        for t in range(steps):
+            x = min(1.0 + v * 0.4 * t, 5.0)
+            rec.robot_poses.append(np.asarray([[x, 1.0, 0.0]]))
+            rec.robot_vws.append(np.asarray([[v, 0.05]]))
+            rec.ped_poses.append(np.zeros((0, 2)))
+        rec.goals = np.asarray([[5.0, 1.0]])
+        rec.dones_info = np.asarray([outcome])
+        return rec
+
+    fast = EpisodeRecorder(dt=0.4)
+    fast.episodes = [synth(0.6, 5), synth(0.6, 5), synth(0.6, 1)]
+    slow = EpisodeRecorder(dt=0.4)
+    slow.episodes = [synth(0.3, 5), synth(0.3, 10), synth(0.3, 5)]
+
+    ind = per_robot_indicators(fast)
+    assert ind[0]["arrive_rate"] == pytest.approx(2 / 3)
+    assert ind[0]["collision_rate"] == pytest.approx(1 / 3)
+    assert ind["all"]["extra_distance"][0] == pytest.approx(0.3, abs=0.35)
+    # slow method: same path, double time -> larger extra time
+    ind_s = per_robot_indicators(slow)
+    assert ind_s["all"]["extra_time"][0] > ind["all"]["extra_time"][0]
+    assert ind_s["all"]["stuck_rate"] == pytest.approx(1 / 3)
+
+    out = str(tmp_path / "cmp")
+    table = compare_methods({"fast": fast, "slow": slow}, out)
+    import os
+    assert set(table) == {"fast", "slow"}
+    for f in ("traj_fast.png", "traj_slow.png", "vw_fast.png",
+              "comparison.png", "comparison.csv"):
+        assert os.path.exists(os.path.join(out, f)), f
+    csv = open(os.path.join(out, "comparison.csv")).read()
+    assert "extra_time_mean" in csv and "fast" in csv and "slow" in csv
