@@ -65,20 +65,57 @@ def shard_scenes(mesh: Mesh, tree):
 
 
 def tp_param_shardings(params, mesh: Mesh):
-    """Tensor-parallel NamedShardings for a flax param tree.
+    """Megatron-style tensor-parallel NamedShardings for a flax param tree.
 
-    Dense/conv kernels whose output feature dim divides the ``model`` axis
-    size shard that dim; biases replicate.  With model=1 everything
-    replicates (pure data parallel).
+    Alternating column/row sharding over the ``model`` axis so activations
+    STAY sharded through each pair and GSPMD inserts one psum per pair
+    (instead of all-gathering after every layer):
+
+      * column (output-dim) sharded: conv kernels, trunk projections, the
+        first layer of each MLP pair (``fuse0``/``vec0``/``embed``) — their
+        biases shard the same dim;
+      * row (input-dim) sharded: the second layer of each pair
+        (``fuse1``/``vec1``/``mlp``) — its matmul contracts the sharded
+        activation locally, then the compiler psums; bias replicates;
+      * heads (value / pi_mean / pi_logits) and everything else replicate.
+
+    With model=1 everything replicates (pure data parallel).  Dims that
+    don't divide the axis size fall back to replication.
     """
     size = mesh.shape[MODEL_AXIS]
+    row_names = ("fuse1", "vec1", "mlp")
 
     def spec_for(path, x):
-        if x.ndim >= 2 and x.shape[-1] % size == 0 and size > 1:
-            return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), MODEL_AXIS))
+        if size <= 1:
+            return NamedSharding(mesh, P())
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        in_row = any(n in row_names for n in names)
+        is_kernel = names and names[-1] == "kernel"
+        if is_kernel and in_row and x.ndim == 2 and x.shape[0] % size == 0:
+            return NamedSharding(mesh, P(MODEL_AXIS, None))
+        if x.ndim >= 2 and not in_row and x.shape[-1] % size == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1)), MODEL_AXIS))
+        if (names and names[-1] == "bias" and not in_row
+                and x.ndim == 1 and x.shape[0] % size == 0):
+            return NamedSharding(mesh, P(MODEL_AXIS))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def tp_sharded_fraction(params, shardings) -> float:
+    """Fraction of parameter BYTES actually sharded over the model axis."""
+    leaves = jax.tree_util.tree_leaves(params)
+    specs = jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda s: isinstance(s, NamedSharding))
+    total = sharded = 0
+    for x, s in zip(leaves, specs):
+        n = int(np.prod(x.shape)) if x.ndim else 1
+        total += n
+        if any(p is not None for p in s.spec):
+            sharded += n
+    return sharded / max(total, 1)
 
 
 def host_mesh(n: int) -> Mesh:
