@@ -272,6 +272,21 @@ class NavEnv:
                         self.statics.own_slots_ok))),
                 painter=(painter_mod.make_painter_tables(self.statics.painter)
                          if self.statics.painter is not None else None))
+        # painter backend: the Pallas kernel replaces the XLA dense decode
+        # on TPU (tables stay VMEM-resident per robot-chunk); CPU keeps the
+        # XLA path (also the x64 parity reference)
+        self.paint_ks = None
+        if (self.statics.painter is not None
+                and cfg.fill_mode != "gather"
+                and (cfg.fill_mode == "pallas"
+                     or jax.default_backend() != "cpu")):
+            from img_env_tpu.ops import pallas_paint
+
+            self.paint_ks = pallas_paint.PaintKernelStatics.build(
+                self.statics.painter)
+            self.sensor_tables = self.sensor_tables._replace(
+                painter=self.sensor_tables.painter._replace(
+                    kernel=pallas_paint.make_paint_tables(self.paint_ks)))
         else:
             self.sensor_tables = None
         # FOV-fill backend: the Pallas matmul kernel replaces XLA's scalar
@@ -674,8 +689,15 @@ class NavEnv:
                 pt = t.painter if t is not None else None
                 s_hit, s_tail = painter_mod.hit_steps(
                     st.painter, *aux, t=pt)
-                vals = painter_mod.paint_sorted(st.painter, s_hit, s_tail,
-                                                t=pt)
+                if self.paint_ks is not None:
+                    from img_env_tpu.ops import pallas_paint
+
+                    vals = pallas_paint.paint_sorted_pallas(
+                        st.painter, self.paint_ks, s_hit, s_tail,
+                        tables=pt.kernel if pt is not None else None)
+                else:
+                    vals = painter_mod.paint_sorted(
+                        st.painter, s_hit, s_tail, t=pt)
             else:
                 hits = jnp.full((n, vp.range_total), 6.0)
                 angular = jnp.full((n, 72), vp.max_dist)

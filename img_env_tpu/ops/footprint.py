@@ -116,11 +116,19 @@ def build_leg_footprints(
 
 
 def bounding_radius(shape: str, sizes: Sequence[float]) -> float:
-    """Module size used by the scenario sampler (reset_helper.py:14-26)."""
+    """Module size used by the scenario sampler (reset_helper.py:14-27).
+
+    Mirrors get_robot_radius including its permissiveness: 'L' and 'sweep'
+    use the historical formulas, and any other unknown shape falls through
+    to 0 (the reference initializes o = 0 and returns it unchanged)."""
     if shape == "circle":
         return float(sizes[2])
     if shape == "rectangle":
         return float(math.sqrt(sizes[0] ** 2 + sizes[2] ** 2))
     if shape == "leg":
         return float(sizes[-1] + sizes[-2])
-    raise ValueError(f"unknown shape {shape!r}")
+    if shape == "L" and len(sizes) >= 4:
+        return float(math.sqrt(sizes[1] ** 2 + sizes[3] ** 2))
+    if shape == "sweep" and len(sizes) >= 4:
+        return float(sizes[3] + sizes[1])
+    return 0.0

@@ -59,7 +59,8 @@ class PainterRegion(NamedTuple):
     W: int                  # beam-window width (0 -> constant-200 region)
     rbase: np.ndarray       # [nb] int32 window start beam per block
     widx: np.ndarray        # [nb, W] int32 clipped beam index per window pos
-    sstep: np.ndarray       # [nb, BM, W] int16: step+1 of the visit, 0=none
+    sstep: np.ndarray       # [nb, W, BM] int16: step+1 of the visit, 0=none
+                            #   (BM minor so slots ride the VPU lanes)
 
 
 class PainterStatics(NamedTuple):
@@ -68,6 +69,11 @@ class PainterStatics(NamedTuple):
     nxt_flat: np.ndarray    # [R*S] int16 minor-run end lookup
     n_steps: int            # S
     n_slots: int            # P'
+    # near-sensor slots are visited by beams spanning most of the range —
+    # a dense per-slot row over ALL beams wastes far less than a 1024-wide
+    # block window (their true incidence is dense anyway)
+    wide_slots: np.ndarray = None   # [ns] int32 slot ids
+    wide_sstep: np.ndarray = None   # [ns, R] int16 step+1, 0 = none
 
     @staticmethod
     def build(ps: PolarStatics, sensor_base=(0.0, 0.0)) -> "PainterStatics":
@@ -108,6 +114,25 @@ class PainterStatics(NamedTuple):
         P = ps.n_slots
         nb_total = P // _BM
         assert nb_total * _BM == P, "sorted layout must be 128-aligned"
+
+        # ---- wide (near-sensor) slots: dense per-slot rows over all beams
+        smin = np.full(P, np.iinfo(np.int32).max, np.int64)
+        smax = np.full(P, -1, np.int64)
+        np.minimum.at(smin, ent_slot, ent_r)
+        np.maximum.at(smax, ent_slot, ent_r)
+        span = np.where(smax >= 0, smax - np.minimum(smin, smax) + 1, 0)
+        wide = span > 256
+        wide_slots = np.nonzero(wide)[0].astype(np.int32)
+        wid_of_slot = np.full(P, -1, np.int64)
+        wid_of_slot[wide_slots] = np.arange(len(wide_slots))
+        wide_sstep = np.zeros((max(len(wide_slots), 1), R), np.int16)
+        is_wide_ent = wide[ent_slot]
+        wide_sstep[wid_of_slot[ent_slot[is_wide_ent]],
+                   ent_r[is_wide_ent]] = (ent_s[is_wide_ent] + 1).astype(
+                       np.int16)
+        keep = np.logical_not(is_wide_ent)
+        ent_r, ent_s, ent_slot = ent_r[keep], ent_s[keep], ent_slot[keep]
+
         ent_blk = ent_slot // _BM
         # per-block beam range
         bmin = np.full(nb_total, np.iinfo(np.int32).max, np.int64)
@@ -116,10 +141,22 @@ class PainterStatics(NamedTuple):
         np.maximum.at(bmax, ent_blk, ent_r)
         wblk = np.where(bmax >= 0, bmax - np.minimum(bmin, bmax) + 1, 0)
 
-        # width class per block: 0 stays 0, else next pow2 (>= 32)
+        # Window start per block: aligned DOWN to 8 (the Pallas kernel
+        # slices the int32 threshold rows at rbase — int32 sublane tiling
+        # allows multiples of 8); width class covers [rbase8, bmax] rounded
+        # up to a multiple of 8 (the table block's W equals its array dim,
+        # so Mosaic accepts any W).
+        r_pad = (R + 127) // 128 * 128
+        rb16 = np.maximum(np.minimum(bmin, bmax), 0) // 8 * 8
+        w_need = np.where(bmax >= 0, bmax - rb16 + 1, 0)
         wcls = np.zeros(nb_total, np.int64)
         nzb = wblk > 0
-        wcls[nzb] = np.maximum(32, 2 ** np.ceil(np.log2(wblk[nzb])).astype(int))
+        fine = (w_need + 15) // 16 * 16
+        coarse = np.maximum(
+            2 ** np.ceil(np.log2(np.maximum(w_need, 1))).astype(int), 128)
+        wcls[nzb] = np.where(w_need[nzb] <= 128, fine[nzb], coarse[nzb])
+        wcls = np.minimum(wcls, r_pad)
+        rb16 = np.minimum(rb16, np.maximum(r_pad - wcls, 0))
         # fold short zero-runs into the wider neighbour class so regions
         # stay few; long zero runs become free constant-200 regions
         cls = wcls.copy()
@@ -132,6 +169,20 @@ class PainterStatics(NamedTuple):
                 left = cls[i - 1] if i > 0 else 0
                 right = cls[j] if j < nb_total else 0
                 cls[i:j] = max(left, right)
+            i = j
+        # merge micro-regions (< 4 blocks) into the wider neighbour class to
+        # bound the number of XLA ops without inflating entries much
+        i = 0
+        while i < nb_total:
+            j = i
+            while j < nb_total and cls[j] == cls[i]:
+                j += 1
+            if 0 < cls[i] and (j - i) < 4:
+                left = cls[i - 1] if i > 0 else 0
+                right = cls[j] if j < nb_total else 0
+                m = max(left, right)
+                if m > cls[i]:
+                    cls[i:j] = m
             i = j
 
         # entries grouped by block for table fill
@@ -160,20 +211,17 @@ class PainterStatics(NamedTuple):
                 i = j
                 continue
             rbase = np.zeros(nb, np.int32)
-            sstep = np.zeros((nb, _BM, W), np.int16)
+            sstep = np.zeros((nb, W, _BM), np.int16)
             for b in range(i, j):
                 lo_e, hi_e = blk_start[b], blk_end[b]
                 if hi_e <= lo_e:
                     continue
-                rb = int(bmin[b])
-                # centre the window when there's slack
-                span = int(wblk[b])
-                rb = max(0, min(rb - (W - span) // 2, R - W))
+                rb = int(rb16[b])
                 rbase[b - i] = rb
                 rr = ent_r_o[lo_e:hi_e] - rb
                 mm = ent_slot_o[lo_e:hi_e] - b * _BM
-                assert (rr >= 0).all() and (rr < W).all()
-                sstep[b - i, mm, rr] = (ent_s_o[lo_e:hi_e] + 1).astype(np.int16)
+                assert (rr >= 0).all() and (rr < W).all(), (rb, W)
+                sstep[b - i, rr, mm] = (ent_s_o[lo_e:hi_e] + 1).astype(np.int16)
             widx = np.clip(rbase[:, None] + np.arange(W)[None, :], 0, R - 1)
             regions.append(PainterRegion(
                 lo=i * _BM, nb=nb, W=W, rbase=rbase,
@@ -185,6 +233,7 @@ class PainterStatics(NamedTuple):
             regions=tuple(regions),
             globstep=np.minimum(globstep, _BIG).astype(np.int16),
             nxt_flat=nxt_flat, n_steps=S, n_slots=P,
+            wide_slots=wide_slots, wide_sstep=wide_sstep,
         )
 
 
@@ -195,6 +244,9 @@ class PainterTables(NamedTuple):
     nxt_flat: jnp.ndarray
     region_widx: Tuple[jnp.ndarray, ...]
     region_sstep: Tuple[jnp.ndarray, ...]
+    wide_slots: jnp.ndarray = None
+    wide_sstep: jnp.ndarray = None
+    kernel: Tuple = None    # pallas_paint.make_paint_tables (TPU path)
 
 
 def make_painter_tables(pst: PainterStatics, device_put=True) -> PainterTables:
@@ -205,6 +257,8 @@ def make_painter_tables(pst: PainterStatics, device_put=True) -> PainterTables:
         nxt_flat=put(jnp.asarray(pst.nxt_flat)),
         region_widx=tuple(put(jnp.asarray(r.widx)) for r in pst.regions),
         region_sstep=tuple(put(jnp.asarray(r.sstep)) for r in pst.regions),
+        wide_slots=put(jnp.asarray(pst.wide_slots)),
+        wide_sstep=put(jnp.asarray(pst.wide_sstep)),
     )
 
 
@@ -239,10 +293,10 @@ def paint_sorted(pst: PainterStatics, s_hit, s_tail,
         widx = (t.region_widx[ridx] if t is not None
                 else jnp.asarray(reg.widx))                  # [nb, W]
         tbl = (t.region_sstep[ridx] if t is not None
-               else jnp.asarray(reg.sstep))                  # [nb, BM, W]
-        sh = s_hit[:, widx.reshape(-1)].reshape(n, reg.nb, 1, reg.W)
-        st = s_tail[:, widx.reshape(-1)].reshape(n, reg.nb, 1, reg.W)
-        T = tbl[None].astype(jnp.int16)                      # [1, nb, BM, W]
+               else jnp.asarray(reg.sstep))                  # [nb, W, BM]
+        sh = s_hit[:, widx.reshape(-1)].reshape(n, reg.nb, reg.W, 1)
+        st = s_tail[:, widx.reshape(-1)].reshape(n, reg.nb, reg.W, 1)
+        T = tbl[None].astype(jnp.int16)                      # [1, nb, W, BM]
         vis = T > 0
         # codes: 2 -> 255 (pre-hit), 3 -> 0 (the hit), 1 -> 200 (post-run),
         # 0 -> skip;   T = s+1
@@ -250,14 +304,39 @@ def paint_sorted(pst: PainterStatics, s_hit, s_tail,
             T <= sh, jnp.int16(2),
             jnp.where(T == sh + 1, jnp.int16(3),
                       jnp.where(T > st, jnp.int16(1), jnp.int16(0))))
-        w_pos = jnp.arange(reg.W, dtype=jnp.int16)[None, None, None, :]
+        w_pos = jnp.arange(reg.W, dtype=jnp.int16)[None, None, :, None]
         key = jnp.where(vis & (code > 0),
                         (w_pos << 2) | code, jnp.int16(-1))
-        win = key.max(axis=-1)                               # [n, nb, BM]
+        win = key.max(axis=2)                                # [n, nb, BM]
         c = win & 3
         val = jnp.where(
             win < 0, float(CELL_UNSEEN),
             jnp.where(c == 2, float(CELL_VIEW_FREE),
                       jnp.where(c == 3, 0.0, float(CELL_UNSEEN))))
         outs.append(val.reshape(n, reg.nb * _BM).astype(jnp.float32))
-    return jnp.concatenate(outs, axis=1)[:, : pst.n_slots]
+    vals = jnp.concatenate(outs, axis=1)[:, : pst.n_slots]
+
+    # ---- wide near-sensor slots: dense rows over all beams --------------
+    if pst.wide_slots is not None and pst.wide_slots.size:
+        wt = (t.wide_sstep if t is not None
+              else jnp.asarray(pst.wide_sstep))              # [ns, R]
+        T = wt[None].astype(jnp.int16)                       # [1, ns, R]
+        sh = s_hit[:, None, :]
+        st = s_tail[:, None, :]
+        code = jnp.where(
+            (T > 0) & (T <= sh), jnp.int16(2),
+            jnp.where((T > 0) & (T == sh + 1), jnp.int16(3),
+                      jnp.where((T > 0) & (T > st), jnp.int16(1),
+                                jnp.int16(0))))
+        beam = jnp.arange(wt.shape[1], dtype=jnp.int16)[None, None, :]
+        key = jnp.where(code > 0, (beam << 2) | code, jnp.int16(-1))
+        win = key.max(axis=-1)
+        c = win & 3
+        wvals = jnp.where(
+            win < 0, float(CELL_UNSEEN),
+            jnp.where(c == 2, float(CELL_VIEW_FREE),
+                      jnp.where(c == 3, 0.0, float(CELL_UNSEEN))))
+        ws = (t.wide_slots if t is not None
+              else jnp.asarray(pst.wide_slots))
+        vals = vals.at[:, ws].set(wvals.astype(jnp.float32))
+    return vals

@@ -172,9 +172,44 @@ class PolarStatics(NamedTuple):
                 pos += _round_up(max(len(seg), 1), fw)
             hi_list.append(pos)
         n_fill_slots = pos
-        # ungated pixels: appended in (chunk, angle) order, never filled —
-        # their view value depends only on the gates (CELL_UNSEEN)
-        un = np.nonzero(np.logical_not(gated_pix))[0]
+        # ungated pixels: beams still WRITE a few of them (Bresenham wobble
+        # at the FOV edges, and the laser trace paints any traversed cell).
+        # Order them so the painter's per-block beam windows stay narrow:
+        # beam-VISITED ungated slots first, grouped by (chunk, FOV edge,
+        # nearest beam) with each group padded to a 128-slot boundary (a
+        # block then never mixes the two angular edges -> small windows);
+        # never-visited slots last (one constant-200 painter region).
+        ls_cells, ls_valid = ls.cells, ls.valid
+        inb_u = ((ls_cells[..., 0] >= 0) & (ls_cells[..., 0] < hpx)
+                 & (ls_cells[..., 1] >= 0) & (ls_cells[..., 1] < wpx))
+        oob_u = ls_valid & ~inb_u
+        s_dim = ls_valid.shape[1]
+        first_oob_u = np.where(oob_u.any(1), oob_u.argmax(1), s_dim)
+        eff_u = ls_valid & inb_u & (
+            np.arange(s_dim)[None, :] < first_oob_u[:, None])
+        visited_pix = np.zeros(P, bool)
+        visited_pix[(ls_cells[..., 0] * wpx + ls_cells[..., 1])[eff_u]] = True
+
+        beam_of_pixel = vs.pix_beam.reshape(-1)
+        un_mask = np.logical_not(gated_pix)
+        uv = np.nonzero(un_mask & visited_pix)[0]
+        edge = (beam_of_pixel[uv] >= p.range_total // 2).astype(np.int64)
+        uv = uv[np.lexsort((ang_of_pixel[uv], beam_of_pixel[uv], edge,
+                            chunk_of_pixel[uv]))]
+        group = chunk_of_pixel[uv] * 2 + (beam_of_pixel[uv]
+                                          >= p.range_total // 2)
+        gpos = pos
+        i0 = 0
+        while i0 < len(uv):
+            i1 = i0
+            while i1 < len(uv) and group[i1] == group[i0]:
+                i1 += 1
+            seg = uv[i0:i1]
+            slot_of_pixel[seg] = gpos + np.arange(len(seg))
+            gpos += _round_up(len(seg), 128)
+            i0 = i1
+        pos = gpos
+        un = np.nonzero(un_mask & np.logical_not(visited_pix))[0]
         un = un[np.lexsort((ang_of_pixel[un], chunk_of_pixel[un]))]
         slot_of_pixel[un] = pos + np.arange(len(un))
         pos += len(un)

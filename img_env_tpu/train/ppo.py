@@ -33,6 +33,9 @@ class PpoConfig(NamedTuple):
     epochs: int = 4             # passes over the rollout per update
     minibatches: int = 4        # shuffled minibatches per epoch
     max_grad_norm: float = 0.5  # global-norm gradient clip
+    reward: str = "paper"       # 'paper' (SensorsPaperReward) | 'base'
+    autoreset: bool = True      # NeverStop: re-draw finished scenes between
+                                #   rollouts (all robots down or time_max)
 
 
 class TrainState(NamedTuple):
@@ -77,7 +80,16 @@ def make_train_step(
     def _dist(params, feats):
         return model.apply(params, *feats)
 
+    ped_safety = float(env.cfg.ped_safety_space)
+    time_max = int(env.cfg.time_max)
+
     def rollout(params, states, obs, key):
+        """Unroll with training-stack semantics: dense paper reward
+        (SensorsPaperRewardWrapper), rewards of already-done robots masked
+        (MultiRobotCleanWrapper's is_clean), finished scenes re-drawn after
+        the rollout (NeverStopWrapper)."""
+        from img_env_tpu.env import rewards as rewards_mod
+
         def body(carry, key):
             states, obs = carry
             feats = obs_features(obs, use_ped)
@@ -87,12 +99,44 @@ def make_train_step(
             act_sn = act.reshape(-1, n_rob, act.shape[-1])
             actions = jnp.concatenate(
                 [act_sn, jnp.zeros(act_sn.shape[:-1] + (1,))], -1)
-            states, nobs, reward, done, _ = env.step_fn(states, actions)
-            out = (feats, act, logp, value, reward.reshape(-1), done.reshape(-1))
+            states, nobs, reward, done, info = env.step_fn(states, actions)
+            if cfg.reward == "paper":
+                d = nobs.vector_states.shape[-1]
+                reward = rewards_mod.paper_reward(
+                    nobs.vector_states.reshape(-1, d),
+                    nobs.is_collisions.reshape(-1),
+                    nobs.is_arrives.reshape(-1),
+                    nobs.step_ds.reshape(-1),
+                    nobs.ped_min_dists.reshape(-1),
+                    ped_safety,
+                ).reshape(reward.shape)
+            reward = jnp.where(info["alive"], reward, 0.0)   # is_clean mask
+            out = (feats, act, logp, value,
+                   reward.reshape(-1).astype(value.dtype),
+                   done.reshape(-1))
             return (states, nobs), out
 
-        keys = jax.random.split(key, cfg.unroll)
+        k_steps, k_reset = jax.random.split(key)
+        keys = jax.random.split(k_steps, cfg.unroll)
         (states, obs), traj = jax.lax.scan(body, (states, obs), keys)
+
+        if cfg.autoreset:
+            # NeverStop between rollouts: scenes with every robot down or
+            # past the time limit restart from a fresh key
+            done_now = (jnp.clip(states.robots.collision, 0, 1)
+                        + states.robots.arrive.astype(jnp.int32)) > 0
+            finished = done_now.all(axis=-1) | (states.step >= time_max)
+            s_batch = states.step.shape[0]
+            rkeys = jax.random.split(k_reset, s_batch)
+            rstates, robs = env.reset_fn(rkeys)
+
+            def pick(new, old):
+                m = finished.reshape(
+                    (s_batch,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            states = jax.tree_util.tree_map(pick, rstates, states)
+            obs = jax.tree_util.tree_map(pick, robs, obs)
         return states, obs, traj
 
     def gae(values, rewards, dones, last_value):

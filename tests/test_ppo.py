@@ -81,14 +81,17 @@ def test_gradient_clipping_bounds_update():
 
 @pytest.mark.slow
 def test_reward_improves_on_empty_map():
-    """Mean rollout reward improves over ~50 updates (empty map, 1 robot)."""
-    ts, states, obs, step = _setup(scenes=8, unroll=16, seed=7)
+    """Mean rollout (paper) reward improves over ~40 updates: the dense
+    200*step_d progress term teaches 'drive at the goal' on an empty map."""
+    ts, states, obs, step = _setup(
+        scenes=6, unroll=16, seed=7,
+        ppo=PpoConfig(unroll=16, lr=1e-3, epochs=2, minibatches=2))
     rewards = []
     key = jax.random.PRNGKey(42)
-    for u in range(50):
+    for u in range(40):
         key, k = jax.random.split(key)
         ts, states, obs, m = step(ts, states, obs, k)
         rewards.append(float(m["reward_mean"]))
-    early = np.mean(rewards[:10])
-    late = np.mean(rewards[-10:])
+    early = np.mean(rewards[:8])
+    late = np.mean(rewards[-8:])
     assert late > early, f"no improvement: early {early:.1f} late {late:.1f}"
