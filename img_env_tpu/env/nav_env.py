@@ -274,16 +274,21 @@ class NavEnv:
                          if self.statics.painter is not None else None))
         # painter backend: the Pallas kernel replaces the XLA dense decode
         # on TPU (tables stay VMEM-resident per robot-chunk); CPU keeps the
-        # XLA path (also the x64 parity reference)
+        # XLA path (also the x64 parity reference).  Painting only the
+        # resize subgrid was MEASURED SLOWER (compacted slots make block
+        # beam-windows balloon: 23k slots but 9.7M window entries vs 5.4M
+        # full) — keep the full-view paint.
         self.paint_ks = None
+        self.paint_pst = None
         if (self.statics.painter is not None
                 and cfg.fill_mode != "gather"
                 and (cfg.fill_mode == "pallas"
                      or jax.default_backend() != "cpu")):
             from img_env_tpu.ops import pallas_paint
 
+            self.paint_pst = self.statics.painter
             self.paint_ks = pallas_paint.PaintKernelStatics.build(
-                self.statics.painter)
+                self.paint_pst)
             self.sensor_tables = self.sensor_tables._replace(
                 painter=self.sensor_tables.painter._replace(
                     kernel=pallas_paint.make_paint_tables(self.paint_ks)))
@@ -693,7 +698,7 @@ class NavEnv:
                     from img_env_tpu.ops import pallas_paint
 
                     vals = pallas_paint.paint_sorted_pallas(
-                        st.painter, self.paint_ks, s_hit, s_tail,
+                        self.paint_pst, self.paint_ks, s_hit, s_tail,
                         tables=pt.kernel if pt is not None else None)
                 else:
                     vals = painter_mod.paint_sorted(

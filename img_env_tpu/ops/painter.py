@@ -68,15 +68,23 @@ class PainterStatics(NamedTuple):
     globstep: np.ndarray    # [R, NC, K] int16 global step of chunk sample k
     nxt_flat: np.ndarray    # [R*S] int16 minor-run end lookup
     n_steps: int            # S
-    n_slots: int            # P'
+    n_slots: int            # painted slot count (compact when masked)
     # near-sensor slots are visited by beams spanning most of the range —
     # a dense per-slot row over ALL beams wastes far less than a 1024-wide
     # block window (their true incidence is dense anyway)
-    wide_slots: np.ndarray = None   # [ns] int32 slot ids
+    wide_slots: np.ndarray = None   # [ns] int32 slot ids (painted space)
     wide_sstep: np.ndarray = None   # [ns, R] int16 step+1, 0 = none
+    # masked build: compact painted space over a subset of sorted slots
+    # (e.g. only the 192x192 subgrid the 48x48 cubic resize reads — 77% of
+    # view pixels never reach the Observation).  None -> identity.
+    slots_of_compact: np.ndarray = None  # [n_slots] int32 original slot ids
 
     @staticmethod
-    def build(ps: PolarStatics, sensor_base=(0.0, 0.0)) -> "PainterStatics":
+    def build(ps: PolarStatics, sensor_base=(0.0, 0.0),
+              slot_mask: np.ndarray = None) -> "PainterStatics":
+        """slot_mask: optional [P'] bool — paint only these sorted slots,
+        into a COMPACT [n_masked_pad] value space ordered like the sorted
+        layout (consumers remap indices via slots_of_compact)."""
         p = ps.params
         ls = LaserStatics.build(p, sensor_base)
         cells = ls.cells
@@ -111,7 +119,20 @@ class PainterStatics(NamedTuple):
         ent_r, ent_s = np.nonzero(eff)
         ent_slot = slot_of_pixel[
             cells[ent_r, ent_s, 0] * p.wpx + cells[ent_r, ent_s, 1]]
-        P = ps.n_slots
+        if slot_mask is not None:
+            masked = np.nonzero(slot_mask)[0].astype(np.int64)   # sorted
+            pc = (len(masked) + _BM - 1) // _BM * _BM
+            slots_of_compact = np.full(pc, ps.n_slots - 1, np.int32)
+            slots_of_compact[: len(masked)] = masked
+            compact_of_slot = np.full(ps.n_slots, -1, np.int64)
+            compact_of_slot[masked] = np.arange(len(masked))
+            keep_m = compact_of_slot[ent_slot] >= 0
+            ent_r, ent_s = ent_r[keep_m], ent_s[keep_m]
+            ent_slot = compact_of_slot[ent_slot[keep_m]]
+            P = pc
+        else:
+            slots_of_compact = None
+            P = ps.n_slots
         nb_total = P // _BM
         assert nb_total * _BM == P, "sorted layout must be 128-aligned"
 
@@ -234,6 +255,7 @@ class PainterStatics(NamedTuple):
             globstep=np.minimum(globstep, _BIG).astype(np.int16),
             nxt_flat=nxt_flat, n_steps=S, n_slots=P,
             wide_slots=wide_slots, wide_sstep=wide_sstep,
+            slots_of_compact=slots_of_compact,
         )
 
 
@@ -247,6 +269,9 @@ class PainterTables(NamedTuple):
     wide_slots: jnp.ndarray = None
     wide_sstep: jnp.ndarray = None
     kernel: Tuple = None    # pallas_paint.make_paint_tables (TPU path)
+    # compact-painter consumer remaps (resize-subgrid mask, TPU path)
+    resize_pos_c: jnp.ndarray = None   # [oh*ow, 16] into compact space
+    own_mask_c: jnp.ndarray = None     # [N, Pc] self-stamp mask
 
 
 def make_painter_tables(pst: PainterStatics, device_put=True) -> PainterTables:

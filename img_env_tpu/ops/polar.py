@@ -565,15 +565,13 @@ def stamp_self_mask(values, own_mask):
                      values)
 
 
-def sensor_maps_from_sorted(ps: PolarStatics, values, image_size,
-                            dtype=jnp.float32, t: PolarTables = None):
-    """Sparse INTER_CUBIC resize + /255 from the sorted layout.
+def sensor_maps_from_values(values, pos, w, image_size, dtype=jnp.float32):
+    """Sparse INTER_CUBIC resize + /255 from ANY value layout.
 
-    values: [N, P'] floats (view map values).  Returns [N, 48, 48].
+    values: [N, P] floats; pos: [oh*ow, 16] int32 indices into that layout
+    (sorted slots or the painter's compact space); w: [oh*ow, 16] weights.
     """
     n = values.shape[0]
-    pos = t.resize_pos if t is not None else jnp.asarray(ps.resize_pos)
-    w = t.resize_w if t is not None else jnp.asarray(ps.resize_w)
     gathered = values[:, pos.reshape(-1)].reshape(n, pos.shape[0], pos.shape[1])
     out = (gathered * w[None]).sum(-1)
     # cv2 saturates the cubic overshoot back into uint8 range and rounds
@@ -581,6 +579,17 @@ def sensor_maps_from_sorted(ps: PolarStatics, values, image_size,
     out = jnp.clip(jnp.round(out), 0, 255) / 255.0
     oh, ow = image_size
     return out.astype(dtype).reshape(n, oh, ow)
+
+
+def sensor_maps_from_sorted(ps: PolarStatics, values, image_size,
+                            dtype=jnp.float32, t: PolarTables = None):
+    """Sparse INTER_CUBIC resize + /255 from the sorted layout.
+
+    values: [N, P'] floats (view map values).  Returns [N, 48, 48].
+    """
+    pos = t.resize_pos if t is not None else jnp.asarray(ps.resize_pos)
+    w = t.resize_w if t is not None else jnp.asarray(ps.resize_w)
+    return sensor_maps_from_values(values, pos, w, image_size, dtype)
 
 
 def own_slots_from_cells(ps: PolarStatics, own_view_cells, own_view_valid):

@@ -39,7 +39,6 @@ def test_corpus_is_substantial():
 def test_whole_corpus_loads():
     loaded = 0
     sampled = 0
-    multi = 0
     for f in _corpus():
         if os.path.basename(f) in KNOWN_BROKEN:
             with pytest.raises(Exception):
@@ -51,8 +50,29 @@ def test_whole_corpus_loads():
         if cfg.robot.total + cfg.ped_sim.total > 0:
             spec = SamplerSpec.from_config(cfg)
             sampled += 1
-            if spec.begin_params.shape[1] > 1 or spec.target_params.shape[1] > 1:
-                multi += 1
     assert loaded >= 108
     assert sampled >= 100
-    assert multi >= 1     # the corpus exercises the multi-region path
+
+
+def test_corpus_multi_regions_build():
+    """stage_train.yaml carries range_multi region lists (agents 5-6).  It
+    uses the historical FLAT schema (robot_total / top-level pose lists)
+    that the current reference loader can't consume either — so nest its
+    fields and check the sampler encodes the 5 candidate regions."""
+    raw = read_yaml(os.path.join(REF_CFG, "old_cfg", "stage_train.yaml"))
+    cfg = EnvConfig.from_dict({
+        "robot": {
+            "total": raw["robot_total"],
+            "begin_poses_type": raw["begin_poses_type"],
+            "begin_poses": raw["begin_poses"],
+            "target_poses_type": raw["target_poses_type"],
+            "target_poses": raw["target_poses"],
+        },
+        "ped_sim": {"total": 0},
+        "global_map": {"resolution": 0.1, "map_file": "room_10.png"},
+        "view_map": {"resolution": 0.05, "width": 3, "height": 3},
+    })
+    spec = SamplerSpec.from_config(cfg)
+    assert spec.begin_params.shape[1] == 5
+    assert int(spec.begin_nreg[5]) == 5 and int(spec.begin_nreg[6]) == 5
+    assert int(spec.begin_nreg[0]) == 1

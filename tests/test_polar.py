@@ -117,3 +117,41 @@ def test_no_laser_values(rng):
         np.testing.assert_array_equal(
             np.asarray(vals[i])[live],
             np.asarray(view).reshape(-1).astype(np.float32)[ps.perm[live]])
+
+
+def test_compact_painter_matches_full_resize(rng):
+    """Masked (resize-subgrid) painter: the 48x48 sensor map is bit-equal
+    to resizing the FULL painted view (the TPU fast path's contract)."""
+    from img_env_tpu.ops.painter import PainterStatics, hit_steps, paint_sorted
+
+    static, obs, peds, robots = _random_scene(rng, n_rob=2, n_ped=1, n_obs=2)
+    layers = _layers_from_scene(static, obs, peds, robots)
+    ps = polar.PolarStatics.build(VP, image_size=(48, 48), n_chunks=16)
+    rob_poses = jnp.asarray(np.stack([p for p, _ in robots]))
+
+    mask = np.zeros(ps.n_slots, bool)
+    mask[ps.resize_pos[ps.resize_w != 0]] = True
+    mask[ps.n_slots - 1] = False
+    pst_full = PainterStatics.build(ps)
+    pst_c = PainterStatics.build(ps, slot_mask=mask)
+
+    occ = polar.fill_sorted(ps, layers.packed, RES, rob_poses)
+    hits, ang, aux = polar.raycast_batched(ps, occ, return_aux=True)
+    s_hit, s_tail = hit_steps(pst_full, *aux)
+    vals_full = paint_sorted(pst_full, s_hit, s_tail)
+    sm_full = polar.sensor_maps_from_sorted(ps, vals_full, (48, 48))
+
+    vals_c = paint_sorted(pst_c, s_hit, s_tail)
+    soc = pst_c.slots_of_compact
+    # compact values agree with the full paint on every masked slot
+    live = soc != ps.n_slots - 1
+    np.testing.assert_array_equal(
+        np.asarray(vals_c)[:, live], np.asarray(vals_full)[:, soc[live]])
+
+    coc = np.full(ps.n_slots, pst_c.n_slots - 1, np.int64)
+    coc[soc] = np.arange(len(soc))
+    pos_c = np.where(ps.resize_w != 0, coc[ps.resize_pos],
+                     pst_c.n_slots - 1).astype(np.int32)
+    sm_c = polar.sensor_maps_from_values(
+        vals_c, jnp.asarray(pos_c), jnp.asarray(ps.resize_w), (48, 48))
+    np.testing.assert_array_equal(np.asarray(sm_c), np.asarray(sm_full))
