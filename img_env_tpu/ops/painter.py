@@ -50,7 +50,11 @@ from img_env_tpu.ops.view import LaserStatics, ViewParams, beam_walk_tables
 from img_env_tpu.ops.polar import PolarStatics
 
 _BIG = np.int32(2 ** 14)       # "no hit" sentinel step (any real s < this)
-_BM = 128                      # slots per painter block
+_BM = 64                       # slots per painter block: windows cover half
+                               # the angular drift of 128-slot blocks; the
+                               # Pallas kernel packs two neighbouring blocks
+                               # side by side to keep full 128-lane compute,
+                               # so width CLASSES are shared per block PAIR
 
 
 class PainterRegion(NamedTuple):
@@ -121,7 +125,7 @@ class PainterStatics(NamedTuple):
             cells[ent_r, ent_s, 0] * p.wpx + cells[ent_r, ent_s, 1]]
         if slot_mask is not None:
             masked = np.nonzero(slot_mask)[0].astype(np.int64)   # sorted
-            pc = (len(masked) + _BM - 1) // _BM * _BM
+            pc = (len(masked) + 127) // 128 * 128    # whole block PAIRS
             slots_of_compact = np.full(pc, ps.n_slots - 1, np.int32)
             slots_of_compact[: len(masked)] = masked
             compact_of_slot = np.full(ps.n_slots, -1, np.int64)
@@ -177,6 +181,10 @@ class PainterStatics(NamedTuple):
             2 ** np.ceil(np.log2(np.maximum(w_need, 1))).astype(int), 128)
         wcls[nzb] = np.where(w_need[nzb] <= 128, fine[nzb], coarse[nzb])
         wcls = np.minimum(wcls, r_pad)
+        # width class shared per block PAIR (the kernel computes two
+        # neighbouring 64-slot blocks side by side in one 128-lane pass)
+        wpair = np.maximum(wcls[0::2], wcls[1::2])
+        wcls = np.repeat(wpair, 2)
         rb16 = np.minimum(rb16, np.maximum(r_pad - wcls, 0))
         # fold short zero-runs into the wider neighbour class so regions
         # stay few; long zero runs become free constant-200 regions

@@ -38,10 +38,13 @@ from img_env_tpu.ops.painter import PainterStatics, _BM
 NR = 32  # robots per grid step (fewer grid steps -> less per-step overhead)
 
 
+_LANES = 2 * _BM   # two neighbouring 64-slot blocks per 128-lane pass
+
+
 class PaintClass(NamedTuple):
     w: int
-    sstep: np.ndarray      # [nbc, W, BM] int16
-    scalars: np.ndarray    # [2, nbc] int32: row 0 rbase, row 1 out block
+    sstep: np.ndarray      # [npair, W, 128] int16 (two blocks side by side)
+    scalars: np.ndarray    # [3, npair] int32: rbase A, rbase B, out row
 
 
 class PaintKernelStatics(NamedTuple):
@@ -61,15 +64,21 @@ class PaintKernelStatics(NamedTuple):
         r_pad = (r_pad + 127) // 128 * 128
         classes = []
         for w in sorted(by_w):
-            regs = by_w[w]
-            sstep = np.concatenate([r.sstep for r in regs], axis=0)
-            rbase = np.concatenate([r.rbase for r in regs], axis=0)
-            out_blk = np.concatenate(
-                [np.arange(r.nb, dtype=np.int64) + r.lo // _BM
-                 for r in regs])
+            ss, ra, rb, ob = [], [], [], []
+            for reg in by_w[w]:
+                assert reg.nb % 2 == 0 and reg.lo % _LANES == 0
+                # pair neighbouring 64-slot blocks side by side
+                ss.append(np.concatenate(
+                    [reg.sstep[0::2], reg.sstep[1::2]], axis=2))
+                ra.append(reg.rbase[0::2])
+                rb.append(reg.rbase[1::2])
+                ob.append(np.arange(reg.nb // 2, dtype=np.int64)
+                          + reg.lo // _LANES)
             classes.append(PaintClass(
-                w=int(w), sstep=sstep,
-                scalars=np.stack([rbase, out_blk]).astype(np.int32)))
+                w=int(w), sstep=np.concatenate(ss, axis=0),
+                scalars=np.stack([
+                    np.concatenate(ra), np.concatenate(rb),
+                    np.concatenate(ob)]).astype(np.int32)))
         return PaintKernelStatics(
             classes=tuple(classes), r_pad=int(r_pad), n_slots=pst.n_slots)
 
@@ -77,36 +86,39 @@ class PaintKernelStatics(NamedTuple):
 def _paint_kernel(scalars_ref, acc_ref, tbl_ref, sh_ref, st_ref, out_ref, *,
                   w: int):
     b = pl.program_id(1)
-    rb = scalars_ref[0, b]
-    T = tbl_ref[0]                                           # [W, BM] i16
-    sh_all = sh_ref[0, pl.ds(pl.multiple_of(rb, 8), w), :]   # [W, NR] i32
-    st_all = st_ref[0, pl.ds(pl.multiple_of(rb, 8), w), :]
+    rb_a = scalars_ref[0, b]          # window start, lanes [0, 64)
+    rb_b = scalars_ref[1, b]          # window start, lanes [64, 128)
+    T = tbl_ref[0]                    # [W, 128] i16 (two blocks side by side)
+    sh_a = sh_ref[0, pl.ds(pl.multiple_of(rb_a, 8), w), :]   # [W, NR] i32
+    st_a = st_ref[0, pl.ds(pl.multiple_of(rb_a, 8), w), :]
+    sh_b = sh_ref[0, pl.ds(pl.multiple_of(rb_b, 8), w), :]
+    st_b = st_ref[0, pl.ds(pl.multiple_of(rb_b, 8), w), :]
     T32 = T.astype(jnp.int32)
     vis32 = T32 > 0
-    wkey = jax.lax.broadcasted_iota(jnp.int32, (w, _BM), 0) << 2
-    lane = jax.lax.broadcasted_iota(jnp.int32, (NR, _BM), 0)
-    sh_f = sh_all.astype(jnp.float32)
-    st_f = st_all.astype(jnp.float32)
+    wkey = jax.lax.broadcasted_iota(jnp.int32, (w, _LANES), 0) << 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NR, _LANES), 1)
+    robot = jax.lax.broadcasted_iota(jnp.int32, (NR, _LANES), 0)
+    shf_a, stf_a = sh_a.astype(jnp.float32), st_a.astype(jnp.float32)
+    shf_b, stf_b = sh_b.astype(jnp.float32), st_b.astype(jnp.float32)
 
     # Unrolled robot loop, all-int32: int16 vector ops crash the Mosaic
     # compile helper, a fori_loop serializes 2.3x slower, and NR=64
     # unrolled emits a 12 MB module the helper rejects -- measured.
     for k in range(NR):
-        # lane-broadcast robot k's thresholds via a one-hot MXU dot
-        ek = (lane == k).astype(jnp.float32)                 # [NR, BM]
-        sh = jax.lax.dot_general(
-            sh_f, ek,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        st = jax.lax.dot_general(
-            st_f, ek,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
+        # lane-broadcast robot k's thresholds via half-masked one-hot MXU
+        # dots: lanes < 64 read window A, lanes >= 64 window B
+        ek_a = ((robot == k) & (lane < _BM)).astype(jnp.float32)
+        ek_b = ((robot == k) & (lane >= _BM)).astype(jnp.float32)
+        dot = lambda x, e: jax.lax.dot_general(
+            x, e, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sh = (dot(shf_a, ek_a) + dot(shf_b, ek_b)).astype(jnp.int32)
+        st = (dot(stf_a, ek_a) + dot(stf_b, ek_b)).astype(jnp.int32)
         code = jnp.where(
             T32 <= sh, 2,
             jnp.where(T32 == sh + 1, 3, jnp.where(T32 > st, 1, 0)))
         key = jnp.where(vis32 & (code > 0), wkey | code, -1)
-        win = jnp.max(key, axis=0)                           # [BM]
+        win = jnp.max(key, axis=0)                           # [128]
         c = win & 3
         val = jnp.where(
             win < 0, float(CELL_UNSEEN),
@@ -130,12 +142,12 @@ def _paint_class(scalars, acc, tbl, sh3, st3, *, w: int,
         grid=(steps, nbc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),            # acc (aliased)
-            pl.BlockSpec((1, w, _BM), lambda nc, b, s: (b, 0, 0)),
+            pl.BlockSpec((1, w, _LANES), lambda nc, b, s: (b, 0, 0)),
             pl.BlockSpec((1, r_pad, NR), lambda nc, b, s: (nc, 0, 0)),
             pl.BlockSpec((1, r_pad, NR), lambda nc, b, s: (nc, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, NR, _BM), lambda nc, b, s: (s[1, b], nc, 0)),
+            (1, NR, _LANES), lambda nc, b, s: (s[2, b], nc, 0)),
     )
     return pl.pallas_call(
         kern,
@@ -175,14 +187,15 @@ def paint_sorted_pallas(pst: PainterStatics, ks: PaintKernelStatics,
     sh3 = prep(s_hit)
     st3 = prep(s_tail)
 
-    nb_total = ks.n_slots // _BM
-    acc = jnp.full((nb_total, n_pad, _BM), float(CELL_UNSEEN), jnp.float32)
+    nb_total = ks.n_slots // _LANES
+    acc = jnp.full((nb_total, n_pad, _LANES), float(CELL_UNSEEN),
+                   jnp.float32)
     for ci, cl in enumerate(ks.classes):
         tbl, scalars = (tables[ci] if tables is not None
                         else (jnp.asarray(cl.sstep), jnp.asarray(cl.scalars)))
         acc = _paint_class(scalars, acc, tbl, sh3, st3, w=cl.w,
                            interpret=interpret)
-    vals = acc.transpose(1, 0, 2).reshape(n_pad, nb_total * _BM)[
+    vals = acc.transpose(1, 0, 2).reshape(n_pad, nb_total * _LANES)[
         :n, : ks.n_slots]
 
     # wide near-sensor slots: dense rows on the XLA path (painter.py)
