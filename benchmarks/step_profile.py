@@ -95,7 +95,25 @@ def main():
         return vals.sum()
 
     fetch_ms(shadow_sum, lambda i: (occ0, hits0, t, i),
-             name="polar.shadow_values_sorted")
+             name="polar.shadow_values_sorted (legacy approx)")
+
+    if env.paint_ks is not None:
+        from img_env_tpu.ops import painter as painter_mod
+        from img_env_tpu.ops import pallas_paint
+
+        @jax.jit
+        def paint_sum(occ, t, i):
+            occ = occ.at[:, i].set(~occ[:, i])
+            _, _, aux = polar.raycast_batched(ps, occ, t=t, return_aux=True)
+            s_hit, s_tail = painter_mod.hit_steps(st.painter, *aux,
+                                                  t=t.painter)
+            vals = pallas_paint.paint_sorted_pallas(
+                env.paint_pst, env.paint_ks, s_hit, s_tail,
+                tables=t.painter.kernel)
+            return vals.sum()
+
+        fetch_ms(paint_sum, lambda i: (occ0, t, i),
+                 name="exact painter (raycast aux + Pallas kernel)")
 
     vals0 = jax.jit(lambda o, h, t: polar.shadow_values_sorted(
         ps, o, h, t=t))(occ0, hits0, t)

@@ -301,6 +301,15 @@ class NavEnv:
             cfg.fill_mode == "pallas"
             or (cfg.fill_mode == "auto" and jax.default_backend() != "cpu")
         )
+        # robot-footprint raster backend: the block one-hot kernel needs
+        # every footprint to fit its [40, 128] block
+        from img_env_tpu.ops.pallas_raster import max_footprint_span
+
+        span = max_footprint_span(self.statics.robot_points,
+                                  self.statics.resolution)
+        self.raster_pallas = bool(
+            self.fill_pallas and cfg.robot.total > 0 and span <= 30)
+
         self._reset = jax.jit(self.reset_fn) if jit else self.reset_fn
         self._step = jax.jit(self.step_fn) if jit else self.step_fn
 
@@ -651,6 +660,7 @@ class NavEnv:
             state.robots.pose, jnp.asarray(st.robot_points), jnp.asarray(st.robot_mask),
             ped_pose3, body_pts, body_mask,
             left_pts, left_mask, right_pts, right_mask,
+            robots_pallas=self.raster_pallas,
         )
         collision = raster.collision_codes(
             layers, state.robots.collision, state.robots.arrive
