@@ -46,7 +46,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from img_env_tpu.constants import CELL_UNSEEN, CELL_VIEW_FREE
-from img_env_tpu.ops.view import LaserStatics, ViewParams, beam_walk_tables
+from img_env_tpu.ops.view import LaserStatics, beam_walk_tables
 from img_env_tpu.ops.polar import PolarStatics
 
 _BIG = np.int32(2 ** 14)       # "no hit" sentinel step (any real s < this)

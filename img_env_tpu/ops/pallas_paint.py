@@ -200,8 +200,6 @@ def paint_sorted_pallas(pst: PainterStatics, ks: PaintKernelStatics,
 
     # wide near-sensor slots: dense rows on the XLA path (painter.py)
     if pst.wide_slots is not None and pst.wide_slots.size:
-        from img_env_tpu.ops import painter as painter_mod
-
         wt = jnp.asarray(pst.wide_sstep).astype(jnp.int16)[None]
         sh = s_hit[:, None, :].astype(jnp.int16)
         st = s_tail[:, None, :].astype(jnp.int16)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 
 from img_env_tpu.core.state import Observation
-from img_env_tpu.models.policy import CrowdNavPolicy, PolicyConfig, sample_action
+from img_env_tpu.models.policy import CrowdNavPolicy, sample_action
 from img_env_tpu.parallel.batched_env import BatchedNavEnv
 
 

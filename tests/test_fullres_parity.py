@@ -9,8 +9,6 @@ bit-for-bit equality with the native C++ oracle (cpp/oracle.cpp, a
 transliteration of agent.cpp:356-624).
 """
 
-import math
-
 import jax.numpy as jnp
 import numpy as np
 import pytest
