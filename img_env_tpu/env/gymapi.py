@@ -199,17 +199,116 @@ class ImgNavEnv:
         return obs_out, np.asarray(reward), np.asarray(done), np_info
 
 
+class WrappedFrontend:
+    """Wrapper stack composed over a hardware/external frontend.
+
+    The reference applies the yaml ``wrapper:`` list to EVERY env_type
+    (envs/__init__.py:30-32), so GazeboEnv/RealEnv get action mapping,
+    paper reward, time limit, frame stacking and eval metrics exactly like
+    the simulator.  This class lifts the single-robot frontend's dict
+    observation into the batched ``Observation`` pytree the functional
+    stack consumes (the reference's GazeboEnv likewise returns a full
+    ``ImageState``, gazebo_env.py:251-282).
+    """
+
+    def __init__(self, frontend, cfg: EnvConfig):
+        self.env = frontend             # raw frontend stays reachable
+        self.cfg = cfg
+        self.stack = WrapperStack(cfg, n_robots=1)
+        self.metrics = EpisodeMetrics(cfg)
+        self._ws = None
+        self._obs_filter = ImgNavEnv._pick_filter(cfg)
+        self._prev_dist: Optional[float] = None
+
+    # gazebo_env.py:251-282: frontends report one robot; lift to [1, ...]
+    def _to_observation(self, d: Dict[str, Any], dones_info) -> "Observation":
+        from img_env_tpu.core.state import Observation
+
+        vec = jnp.asarray(d["vector_states"], jnp.float32)
+        dist = float(np.hypot(float(vec[0, 0]), float(vec[0, 1])))
+        step_d = 0.0 if self._prev_dist is None else self._prev_dist - dist
+        self._prev_dist = dist
+        pv = np.asarray(d["ped_vector_states"], np.float32)
+        # nearest-ped clearance = dist - (r + robot_r) of the closest track
+        # (yaml_env.py:455 via NearbyPed; inf when no peds, reset_helper.py:92)
+        min_d = float(pv[0, 7] - pv[0, 6]) if pv[0, 0] > 0 else float("inf")
+        di = int(np.asarray(dones_info).reshape(-1)[0])
+        h, w = self.cfg.image_size
+        return Observation(
+            vector_states=vec,
+            sensor_maps=jnp.zeros((1, h, w), jnp.float32),
+            is_collisions=jnp.asarray(
+                [1 if di in (1, 2, 3) else 0], jnp.int32),
+            is_arrives=jnp.asarray([1 if di == 5 else 0], jnp.int32),
+            lasers=jnp.asarray(d["lasers"], jnp.float32),
+            ped_vector_states=jnp.asarray(pv),
+            ped_maps=jnp.asarray(d["ped_maps"], jnp.float32),
+            step_ds=jnp.asarray([step_d], jnp.float32),
+            ped_min_dists=jnp.asarray([min_d], jnp.float32),
+        )
+
+    def reset(self):
+        d = self.env.reset()
+        self._prev_dist = None
+        if self._ws is None:
+            self._ws = self.stack.init_state()
+        obs = self._to_observation(d, np.zeros(1))
+        self._ws, sobs = self.stack.on_reset(self._ws, obs)
+        return self._filtered(sobs)
+
+    _filtered = ImgNavEnv._filtered
+
+    def step(self, actions):
+        from img_env_tpu.env.wrappers import vel_action_map
+
+        if self.stack.use_vel_action:
+            raw = jnp.asarray(actions)
+            raw = raw.reshape(-1) if self.cfg.discrete_action \
+                else raw.reshape(1, -1)
+            cmds, speeds = vel_action_map(self.cfg, raw)
+            cmd = np.asarray(cmds).reshape(-1, cmds.shape[-1])[0]
+            speeds = speeds.reshape(1, -1)
+        else:
+            cmd = np.asarray(actions, np.float32).reshape(-1)
+            speeds = jnp.asarray(cmd[:2], jnp.float32)[None]
+        d, reward, done, info = self.env.step(cmd)
+        info = dict(info)
+        dones_info = np.asarray(
+            info.get("dones_info", np.zeros(1))).reshape(1)
+        obs = self._to_observation(d, dones_info)
+        reward = jnp.asarray(np.asarray(reward, np.float32).reshape(1))
+        done = jnp.asarray(np.asarray(done, np.int32).reshape(1))
+        info["dones_info"] = jnp.asarray(dones_info.astype(np.int32))
+        info["speeds"] = speeds
+        self._ws, sobs, reward, done, info = self.stack.on_step(
+            self._ws, obs, reward, done, info)
+        np_info = {k: np.asarray(v) for k, v in info.items()
+                   if not callable(v)}
+        self.metrics.add_step(np_info)
+        if self.stack.use_never_stop and bool(np.asarray(info["all_down"])):
+            self.metrics.end_episode(np_info["dones_info"])
+            obs_out = self.reset()
+        else:
+            obs_out = self._filtered(sobs)
+        return obs_out, np.asarray(reward), np.asarray(done), np_info
+
+
 def make_env(cfg: Union[str, dict, EnvConfig], seed: int = 0, **kw):
     """Reference-style factory (envs/__init__.py:24-33): dispatch on
-    ``env_type`` — 'robot_nav' -> simulator, 'real_env' -> hardware facade."""
+    ``env_type`` — 'robot_nav' -> simulator, 'real_env' -> hardware facade.
+    The yaml ``wrapper:`` list composes over every frontend, as in the
+    reference (envs/__init__.py:30-32); pass ``wrap=False`` for the bare
+    hardware/external facade."""
     if isinstance(cfg, str):
         cfg = EnvConfig.from_dict(read_yaml(cfg))
     elif isinstance(cfg, dict):
         cfg = EnvConfig.from_dict(cfg)
+    wrap = kw.pop("wrap", True)
     if cfg.env_type == "real_env":
         from img_env_tpu.env.hardware_env import HardwareEnv
 
-        return HardwareEnv(cfg, **kw)
+        env = HardwareEnv(cfg, **kw)
+        return WrappedFrontend(env, cfg) if wrap and cfg.wrapper else env
     if cfg.env_type == "gazebo_env":
         from img_env_tpu.env.external_env import ExternalSimEnv
 
@@ -219,5 +318,6 @@ def make_env(cfg: Union[str, dict, EnvConfig], seed: int = 0, **kw):
                 "ExternalSimTransport bundling the simulator callbacks "
                 "(scan, model state, cmd, contact — the gazebo_env.py "
                 "service surface). A rospy bridge is a few lines host-side.")
-        return ExternalSimEnv(cfg, **kw)
+        env = ExternalSimEnv(cfg, **kw)
+        return WrappedFrontend(env, cfg) if wrap and cfg.wrapper else env
     return ImgNavEnv(cfg, seed=seed, **kw)

@@ -173,7 +173,8 @@ class HardwareEnv:
         obs = self.observe()
         d = float(np.hypot(obs["vector_states"][0, 0], obs["vector_states"][0, 1]))
         done = d < 0.3
-        return obs, 0.0, np.asarray([int(done)]), {"arrive": done}
+        return obs, 0.0, np.asarray([int(done)]), {
+            "arrive": done, "dones_info": np.asarray([5 if done else 0])}
 
     def reset(self):
         self._last_step_t = None

@@ -25,14 +25,20 @@ def run_barn_suite(
     episodes_per_world: int = 3,
     max_steps: int = 200,
     output_csv: Optional[str] = None,
+    output_txt: Optional[str] = None,
     seed: int = 0,
 ) -> List[dict]:
-    """Returns per-world metric dicts; optionally writes CSV."""
+    """Returns per-world metric dicts; optionally writes a per-world CSV and
+    the reference's per-episode log (BarnDataSetWrapper.out2logfile format:
+    ``world, arrive, static_collision, stuck, v_avg, w_avg, v_acc, w_acc,
+    v_jerk, w_jerk, w_zero, path_time, steps``)."""
     import jax
 
     from img_env_tpu.env.gymapi import ImgNavEnv
+    from img_env_tpu.utils.trajectory import TrajectoryStats
 
     rows: List[dict] = []
+    ep_lines: List[str] = []
     for wi, wf in enumerate(world_files):
         cfg = base_cfg.replace(
             map_file=os.path.basename(wf),
@@ -40,6 +46,7 @@ def run_barn_suite(
         )
         env = ImgNavEnv(cfg, seed=seed + wi)
         key = jax.random.PRNGKey(seed + wi)
+        traj = TrajectoryStats(dt=float(cfg.control_hz))
         t0 = time.perf_counter()
         obs = env.reset()
         ep = 0
@@ -48,9 +55,21 @@ def run_barn_suite(
             key, k = jax.random.split(key)
             actions = policy_fn(k, obs)
             obs, reward, done, info = env.step(actions)
+            speeds = np.asarray(info["speeds"])
+            traj.add_vw(speeds[0, 0], speeds[0, 1])   # robot 0, like the ref
             steps += 1
             if bool(np.asarray(info["all_down"])):
                 ep += 1
+                di = int(np.asarray(info["dones_info"]).reshape(-1)[0])
+                md = traj.metric_dict()
+                md.update(cur_world=os.path.basename(wf),
+                          arrive=int(di == 5), static_collision=int(di == 1),
+                          stuck=int(di == 10))
+                ep_lines.append(
+                    "{cur_world}, {arrive}, {static_collision}, {stuck}, "
+                    "{v_avg}, {w_avg}, {v_acc}, {w_acc}, {v_jerk}, "
+                    "{w_jerk}, {w_zero}, {path_time}, {steps}".format_map(md))
+                traj.clear()
                 if not env.stack.use_never_stop:
                     obs = env.reset()
         m = env.metrics.summary()
@@ -73,4 +92,8 @@ def run_barn_suite(
             w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
             w.writeheader()
             w.writerows(rows)
+    if output_txt and ep_lines:
+        os.makedirs(os.path.dirname(os.path.abspath(output_txt)), exist_ok=True)
+        with open(output_txt, "a") as f:
+            f.write("\n".join(ep_lines) + "\n")
     return rows
