@@ -100,6 +100,15 @@ def main():
                 out=os.path.join(args.plots, "trajectories.png"))
             plots.plot_outcomes(
                 env.recorder, out=os.path.join(args.plots, "outcomes.png"))
+            try:
+                plots.plot_ep_split(
+                    env.recorder, statics=getattr(env.core, "statics", None),
+                    out=os.path.join(args.plots, "ep_split.png"))
+                plots.plot_vw_odom(
+                    env.recorder,
+                    out=os.path.join(args.plots, "vw_odom.png"))
+            except ValueError:
+                pass          # no completed episodes recorded
             print(f"wrote plots to {args.plots}/")
 
 

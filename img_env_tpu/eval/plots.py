@@ -57,6 +57,169 @@ def plot_trajectories(recorder, statics=None, out: Optional[str] = None,
     return fig
 
 
+def _star_points(center, r1: float, r2: float) -> np.ndarray:
+    """5-pointed star polygon alternating outer/inner radii (the goal/final
+    markers of bag.py's trajectory figures)."""
+    import math
+
+    pts = []
+    for k in range(10):
+        r = r1 if k % 2 == 0 else r2
+        a = math.pi / 2 + k * math.pi / 5
+        pts.append([center[0] + r * math.cos(a), center[1] + r * math.sin(a)])
+    return np.asarray(pts)
+
+
+def _darker(color, f: float):
+    return tuple(c * f for c in color[:3])
+
+
+_PLOT_COLORS = ["tab:blue", "tab:orange", "tab:green", "tab:purple",
+                "tab:brown", "tab:pink", "tab:olive", "tab:cyan",
+                "gold", "tab:red"]
+
+
+def plot_ep_split(recorder, statics=None, out: Optional[str] = None,
+                  robot_radius: float = 0.17, reach_th: float = 0.3,
+                  robot_every_circle: bool = True, max_episodes: int = 9):
+    """Episode-split trajectory composite in the reference's publication
+    style (bag.py:447-613 `_plot_t_ep` / `draw_trajectory(ep_split=True)`):
+    one panel per episode with robot footprint circles alpha-ramped
+    0.2->0.8 along the path (red final disc on collision), pedestrian discs
+    every 4th step plus center dots, hatched goal stars, and a black
+    line to the unreached goal (dashed on collision, solid on stuck)."""
+    import math
+
+    import matplotlib.colors as mcolors
+
+    plt = _plt()
+    eps = [e for e in recorder.episodes[:max_episodes] if e.robot_poses]
+    if not eps:
+        raise ValueError("no recorded episodes to plot")
+    ncol = int(math.ceil(math.sqrt(len(eps))))
+    nrow = int(math.ceil(len(eps) / ncol))
+    fig, axes = plt.subplots(nrow, ncol, figsize=(4.2 * ncol, 4.2 * nrow),
+                             squeeze=False)
+    star_r1 = robot_radius / 1.8
+    star_r2 = star_r1 / 3
+
+    for ei, e in enumerate(eps):
+        ax = axes[ei // ncol][ei % ncol]
+        if statics is not None:
+            occ = np.asarray(statics.static_map) < 250
+            res = float(statics.resolution)
+            ax.imshow(~occ, cmap="gray", origin="lower",
+                      extent=(0, occ.shape[1] * res, 0, occ.shape[0] * res),
+                      alpha=0.6)
+        poses = np.asarray(e.robot_poses)        # [T,N,3]
+        peds = np.asarray(e.ped_poses)           # [T,M,2]
+        T, N = poses.shape[0], poses.shape[1]
+        M = peds.shape[1] if peds.size else 0
+        codes = (np.asarray(e.dones_info).reshape(-1)
+                 if e.dones_info is not None else np.zeros(N))
+        alpha = np.linspace(0.2, 0.8, T + 1)[1:]
+
+        for r in range(N):
+            col = mcolors.to_rgb(_PLOT_COLORS[r % len(_PLOT_COLORS)])
+            coll = codes[r] in (1, 2, 3) if r < len(codes) else False
+            stuck = codes[r] == 10 if r < len(codes) else False
+            arrived = codes[r] == 5 if r < len(codes) else False
+            xs, ys = poses[:, r, 1], poses[:, r, 0]   # (y,x) plot frame
+            for i in range(T):
+                if not robot_every_circle and i % 4 != 0 and i != T - 1:
+                    continue
+                c = (_darker(mcolors.to_rgb("tab:red"), alpha[i])
+                     if (coll and i == T - 1) else _darker(col, alpha[i]))
+                ax.add_artist(plt.Circle((xs[i], ys[i]),
+                                         radius=robot_radius, alpha=0.8,
+                                         color=c, ec=None))
+            goal = (np.asarray(e.goals)[r][:2]
+                    if e.goals is not None else poses[-1, r, :2])
+            gxy = (goal[1], goal[0])
+            if arrived:
+                gxy = (xs[-1], ys[-1])
+            ax.add_artist(plt.Polygon(
+                _star_points(gxy, star_r1, star_r2), closed=True,
+                color=col, linewidth=0.5, fill=True, hatch="/"))
+            ax.plot(xs, ys, color=col, linewidth=0.5, alpha=0.8)
+            if coll or stuck:
+                ax.plot([xs[-1], gxy[0]], [ys[-1], gxy[1]], color="black",
+                        linewidth=0.5,
+                        linestyle="dashed" if coll else "solid")
+        for p in range(M):
+            col = mcolors.to_rgb(
+                _PLOT_COLORS[(p + N) % len(_PLOT_COLORS)])
+            xs, ys = peds[:, p, 1], peds[:, p, 0]
+            for i in range(T):
+                if i % 4 == 0:
+                    ax.add_artist(plt.Circle(
+                        (xs[i], ys[i]), radius=0.1, alpha=0.6,
+                        facecolor=_darker(col, alpha[i]),
+                        edgecolor=_darker((0, 0.5, 1), alpha[i]),
+                        linewidth=0.2))
+                ax.add_artist(plt.Circle(
+                    (xs[i], ys[i]), radius=0.03, alpha=1.0,
+                    facecolor=_darker(col, alpha[i]),
+                    edgecolor=_darker((0, 0.5, 1), alpha[i]),
+                    linewidth=0.2))
+            ax.add_artist(plt.Polygon(
+                _star_points((xs[-1], ys[-1]), star_r1, star_r2),
+                closed=True, color=col, linewidth=0.5, fill=True,
+                hatch="/"))
+            ax.plot(xs, ys, color=col, linewidth=0.5, alpha=0.8)
+        ax.set_xlabel("y [m]")
+        ax.set_ylabel("x [m]")
+        ax.set_title(f"episode {ei}", fontsize=10)
+        ax.set_aspect("equal", "box")
+    for k in range(len(eps), nrow * ncol):
+        axes[k // ncol][k % ncol].axis("off")
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return out
+    return fig
+
+
+def plot_vw_odom(recorder, episode: int = 0, robot: int = 0,
+                 out: Optional[str] = None):
+    """2x2 commanded-vs-executed velocity figure (bag.py:751-896
+    `draw_vw(data_source='vw')`): top row the commanded v/w with point
+    markers, bottom row the executed ("odom") v/w derived from the recorded
+    pose history — the simulator analogue of the reference's /odom twist."""
+    plt = _plt()
+    e = recorder.episodes[episode]
+    vw = np.asarray(e.robot_vws)[:, robot]        # [T,2] commands
+    poses = np.asarray(e.robot_poses)[:, robot]   # [T,3]
+    dt = recorder.dt
+    t = np.arange(vw.shape[0]) * dt
+    d = np.diff(poses, axis=0)
+    heading = poses[:-1, 2]
+    v_odom = (d[:, 0] * np.cos(heading) + d[:, 1] * np.sin(heading)) / dt
+    w_odom = (np.arctan2(np.sin(d[:, 2]), np.cos(d[:, 2]))) / dt
+    t_odom = t[1:]
+    fig, ax = plt.subplots(nrows=2, ncols=2, constrained_layout=True,
+                           figsize=(9, 5))
+    fig.suptitle(
+        f"Robot Velocities of (Episode {episode}, Robot {robot})",
+        fontsize=14)
+    ax[0][0].plot(t, vw[:, 0], marker="o")
+    ax[0][0].set_ylabel("control_vs [m/s]")
+    ax[0][1].plot(t, vw[:, 1], marker="o")
+    ax[0][1].set_ylabel("control_ws [rad/s]")
+    ax[1][0].plot(t_odom, v_odom)
+    ax[1][0].set_ylabel("odom_vs [m/s]")
+    ax[1][0].set_xlabel("time [s]")
+    ax[1][1].plot(t_odom, w_odom)
+    ax[1][1].set_ylabel("odom_ws [rad/s]")
+    ax[1][1].set_xlabel("time [s]")
+    if out:
+        fig.savefig(out, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return out
+    return fig
+
+
 def plot_vw_curves(recorder, episode: int = 0, out: Optional[str] = None):
     """v / w command curves for one episode (bag.py vw plots)."""
     plt = _plt()

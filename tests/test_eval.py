@@ -164,3 +164,36 @@ def test_bagreader_indicators_and_comparison(tmp_path):
         assert os.path.exists(os.path.join(out, f)), f
     csv = open(os.path.join(out, "comparison.csv")).read()
     assert "extra_time_mean" in csv and "fast" in csv and "slow" in csv
+
+
+def test_ep_split_composite_and_odom_vw(tmp_path):
+    """Publication-style figures (bag.py:447-613 ep_split trajectory
+    composites with footprint circles + goal stars; bag.py:751-896
+    commanded-vs-odom velocity panels)."""
+    from img_env_tpu.eval.plots import plot_ep_split, plot_vw_odom
+    from img_env_tpu.eval.recorder import EpisodeRecord, EpisodeRecorder
+
+    def synth(outcome, with_ped=True):
+        rec = EpisodeRecord()
+        for t in range(12):
+            x = 1.0 + 0.2 * t
+            rec.robot_poses.append(
+                np.asarray([[x, 2.0, 0.1 * t], [2.0, x, 1.0]]))
+            rec.robot_vws.append(np.asarray([[0.5, 0.25], [0.5, 0.0]]))
+            rec.ped_poses.append(
+                np.asarray([[3.0, 1.0 + 0.1 * t]]) if with_ped
+                else np.zeros((0, 2)))
+        rec.goals = np.asarray([[4.0, 2.0], [2.0, 4.0]])
+        rec.dones_info = np.asarray([outcome, 5])
+        return rec
+
+    rec = EpisodeRecorder(dt=0.4)
+    rec.episodes = [synth(5), synth(1), synth(10, with_ped=False)]
+
+    p1 = plot_ep_split(rec, out=str(tmp_path / "ep_split.png"))
+    p2 = plot_vw_odom(rec, episode=0, robot=0,
+                      out=str(tmp_path / "vw_odom.png"))
+    import os
+
+    assert os.path.getsize(p1) > 20_000     # a real multi-panel composite
+    assert os.path.getsize(p2) > 10_000
