@@ -10,7 +10,7 @@ agent.h:20-151) re-expressed functionally.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -76,6 +76,10 @@ class ObstacleState(NamedTuple):
     size: jnp.ndarray          # [O,4] circle: (cx,cy,r,0); rect: (x0,x1,y0,y1)
     is_circle: jnp.ndarray     # [O] bool
     aabb: jnp.ndarray          # [O,4] world-frame corners (pax,pay,pbx,pby)
+    # ORCA boundary segments after RVO2's kd-tree splitting
+    # (crowd/obstacle_split.py; KdTree.cpp:131-257), built once per episode
+    # for the rvoscene/ervoscene crowd models.  None for other scene types.
+    segs: Optional[NamedTuple] = None
 
 
 class WorldState(NamedTuple):

@@ -22,10 +22,14 @@ oracle in tests/test_orca.py):
   * linearProgram2's first-failure freeze and linearProgram3's projected
     re-optimization.
 
-One deliberate deviation: RVO2's obstacle kd-tree *splits* segments that
-cross its partition lines, occasionally introducing collinear pseudo-vertices;
-we query unsplit segments.  Collinear sub-segments generate (nearly) covered
-duplicate lines, so trajectories agree to float tolerance, not bit-exactly.
+RVO2's obstacle kd-tree *splits* segments that cross its partition lines,
+introducing collinear convex pseudo-vertices that genuinely change the ORCA
+constraint geometry near adjacent/overlapping rectangles (measured: up to
+~0.5 m/s single-solve divergence on adversarial layouts).  The engine
+reproduces this: crowd/obstacle_split.py runs the faithful kd-tree build as
+a fixed-shape JAX worklist once per episode reset (the processObs analogue)
+and this solver consumes the split segments; tests/test_orca_split.py
+checks the build and the solve against the sequential oracle.
 """
 
 from __future__ import annotations

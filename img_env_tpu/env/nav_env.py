@@ -420,11 +420,25 @@ class NavEnv:
             robot_vel=(carry.crowd_aux.robot_vel if carry is not None else jnp.zeros((n, 2)))
         )
 
+        # rvoscene/ervoscene: apply RVO2's obstacle kd-tree segment
+        # splitting once per episode (processObs; KdTree.cpp:131-257) — the
+        # split pseudo-vertices change ORCA constraints near adjacent
+        # rectangles, so the per-step solver reads these, not raw edges.
+        segs = None
+        if (self.scene_type in ("rvoscene", "ervoscene") and m > 0
+                and not cfg.ped_sim.ignore_obstacle
+                and aabb.shape[0] > 0):
+            from img_env_tpu.crowd.obstacle_split import split_segments
+
+            segs, _ = split_segments(
+                aabb, jnp.ones(aabb.shape[0], bool))
+
         obstacles = ObstacleState(
             pose=sc.obs_pose,
             size=jnp.zeros((sc.obs_pose.shape[0], 4)),
             is_circle=jnp.asarray(st.obs_is_circle),
             aabb=aabb,
+            segs=segs,
         )
 
         # episode-aware clearance field: EDT of static map + sampled
@@ -532,12 +546,17 @@ class NavEnv:
             pref = orca_mod.pref_velocity(peds.pos, goals)
             rpos = state.robots.pose[:, :2] if rel else jnp.zeros((0, 2))
             rvel = state.robots.vel_world if rel else jnp.zeros((0, 2))
-            seg = orca_mod.segments_from_aabbs(
-                state.obstacles.aabb,
-                jnp.ones(state.obstacles.aabb.shape[0], bool)
-                if not cfg.ped_sim.ignore_obstacle
-                else jnp.zeros(state.obstacles.aabb.shape[0], bool),
-            )
+            # episode split segments (processObs analogue) from reset;
+            # fall back to raw edges when the reset didn't build them
+            if state.obstacles.segs is not None:
+                seg = state.obstacles.segs
+            else:
+                seg = orca_mod.segments_from_aabbs(
+                    state.obstacles.aabb,
+                    jnp.ones(state.obstacles.aabb.shape[0], bool)
+                    if not cfg.ped_sim.ignore_obstacle
+                    else jnp.zeros(state.obstacles.aabb.shape[0], bool),
+                )
             evac = (sources, radii) if self.scene_type == "ervoscene" else (None, None)
             new_pos, new_vel = orca_mod.orca_step(
                 peds.pos, peds.vel, pref,

@@ -105,6 +105,7 @@ class MpcController:
             self.ped_prediction, ped_pos, ped_vel, ped_vmax,
             self.cfg.horizon, float(env.cfg.control_hz),
             orca_cfg=env.statics.orca_cfg,
+            segments=state.obstacles.segs,   # episode split segments (or None)
         )
 
         # other robots join the avoidance set as constant-velocity tracks

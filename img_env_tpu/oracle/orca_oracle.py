@@ -2,9 +2,12 @@
 
 Implements the same algorithm as crowd/orca.py but in the straightforward
 sequential style of the original library (float64, Python loops), to validate
-the vectorized JAX solver.  Obstacle neighbors are queried from unsplit
-segments with the kd-tree's right-side filter, matching the JAX engine's
-documented deviation from RVO2's segment-splitting tree.
+the vectorized JAX solver.  Obstacle segments pass through a faithful
+re-implementation of RVO2's kd-tree build (split_segments_from_rects —
+KdTree.cpp:131-257), whose segment SPLITTING changes ORCA constraints near
+adjacent rectangles; neighbor queries then use the kd-tree's right-side
+filter over the split set, sorted by distance (the tree query returns the
+same set within range).
 """
 
 from __future__ import annotations
@@ -59,6 +62,125 @@ def segments_from_rects(aabbs: np.ndarray) -> List[OSeg]:
                 )
             )
     return segs
+
+
+@dataclass
+class _ONode:
+    """Obstacle vertex node (RVO::Obstacle): a vertex plus the boundary
+    segment from it to ``next``."""
+
+    point: np.ndarray
+    prev: Optional["_ONode"] = None
+    next: Optional["_ONode"] = None
+    convex: bool = False
+    unit_dir: Optional[np.ndarray] = None
+
+
+def _left_of(a, b, c):
+    return det(a - c, b - a)
+
+
+def _build_obstacle_tree(obs: List[_ONode], all_nodes: List[_ONode]) -> None:
+    """buildObstacleTreeRecursive (KdTree.cpp:131-257), run for its side
+    effect: a segment straddling the chosen partition segment's line is
+    SPLIT at the intersection, inserting a collinear convex pseudo-vertex
+    into the boundary linked list (KdTree.cpp:219-249)."""
+    if not obs:
+        return
+    size = len(obs)
+    optimal_split = 0
+    min_left = min_right = size
+
+    def rank(l, r):
+        return (max(l, r), min(l, r))
+
+    for i in range(size):
+        left_size = right_size = 0
+        i1, i2 = obs[i], obs[i].next
+        for j in range(size):
+            if i == j:
+                continue
+            j1 = obs[j]
+            j2 = j1.next
+            j1_left = _left_of(i1.point, i2.point, j1.point)
+            j2_left = _left_of(i1.point, i2.point, j2.point)
+            if j1_left >= -EPS and j2_left >= -EPS:
+                left_size += 1
+            elif j1_left <= EPS and j2_left <= EPS:
+                right_size += 1
+            else:
+                left_size += 1
+                right_size += 1
+            if rank(left_size, right_size) >= rank(min_left, min_right):
+                break
+        if rank(left_size, right_size) < rank(min_left, min_right):
+            min_left, min_right, optimal_split = left_size, right_size, i
+
+    left_obs: List[_ONode] = []
+    right_obs: List[_ONode] = []
+    i = optimal_split
+    i1, i2 = obs[i], obs[i].next
+    for j in range(size):
+        if i == j:
+            continue
+        j1 = obs[j]
+        j2 = j1.next
+        j1_left = _left_of(i1.point, i2.point, j1.point)
+        j2_left = _left_of(i1.point, i2.point, j2.point)
+        if j1_left >= -EPS and j2_left >= -EPS:
+            left_obs.append(j1)
+        elif j1_left <= EPS and j2_left <= EPS:
+            right_obs.append(j1)
+        else:
+            t = det(i2.point - i1.point, j1.point - i1.point) / det(
+                i2.point - i1.point, j1.point - j2.point)
+            split_point = j1.point + t * (j2.point - j1.point)
+            new = _ONode(point=split_point, prev=j1, next=j2,
+                         convex=True, unit_dir=j1.unit_dir)
+            all_nodes.append(new)
+            j1.next = new
+            j2.prev = new
+            if j1_left > 0.0:
+                left_obs.append(j1)
+                right_obs.append(new)
+            else:
+                right_obs.append(j1)
+                left_obs.append(new)
+    _build_obstacle_tree(left_obs, all_nodes)
+    _build_obstacle_tree(right_obs, all_nodes)
+
+
+def split_segments_from_rects(aabbs: np.ndarray) -> List[OSeg]:
+    """Segments AFTER RVO2's obstacle kd-tree build: rectangles are added
+    vertex-by-vertex (RVOSimulator::addObstacle, RVOSimulator.cpp:130-168,
+    in rvoscene.h:19-26 order) and the tree build splits any segment that
+    crosses a partition line.  Returns one OSeg per (possibly split)
+    boundary segment — the geometry the reference's neighbor query serves."""
+    nodes: List[_ONode] = []
+    for pax, pay, pbx, pby in aabbs:
+        verts = [np.array([pax, pay], float), np.array([pax, pby], float),
+                 np.array([pbx, pby], float), np.array([pbx, pay], float)]
+        first = len(nodes)
+        n = len(verts)
+        for i, pt in enumerate(verts):
+            nd = _ONode(point=pt.copy())
+            if i != 0:
+                nd.prev = nodes[-1]
+                nd.prev.next = nd
+            if i == n - 1:
+                nd.next = nodes[first]
+                nd.next.prev = nd
+            nd.unit_dir = norm(verts[(i + 1) % n] - verts[i])
+            nd.convex = _left_of(verts[i - 1], verts[i],
+                                 verts[(i + 1) % n]) >= 0.0
+            nodes.append(nd)
+    _build_obstacle_tree(list(nodes), nodes)
+    return [
+        OSeg(p1=nd.point, p2=nd.next.point, dir=nd.unit_dir,
+             prev_dir=nd.prev.unit_dir, next_dir=nd.next.unit_dir,
+             convex1=nd.convex, convex2=nd.next.convex)
+        for nd in nodes
+    ]
 
 
 def _dist_sq_seg(a, b, c):
@@ -350,10 +472,17 @@ def orca_oracle_step(
     ped_pos, ped_vel, ped_pref, ped_radius, ped_max_speed,
     robot_pos, robot_vel, aabbs,
     time_step=0.4, robot_radius=0.5,
-    evac_sources=None, evac_radii=None,
+    evac_sources=None, evac_radii=None, split=True,
 ):
-    """Full crowd step: all peds solved against peds+robots, Euler update."""
-    segs = segments_from_rects(aabbs) if len(aabbs) else []
+    """Full crowd step: all peds solved against peds+robots, Euler update.
+    ``split=True`` (default — the reference's actual behavior) serves
+    segments through the faithful kd-tree build (split_segments_from_rects);
+    ``split=False`` uses the raw unsplit rectangle edges."""
+    if len(aabbs):
+        segs = (split_segments_from_rects(aabbs) if split
+                else segments_from_rects(aabbs))
+    else:
+        segs = []
     m = len(ped_pos)
     all_pos = np.concatenate([ped_pos, robot_pos], axis=0)
     all_vel = np.concatenate([ped_vel, robot_vel], axis=0)

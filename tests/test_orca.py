@@ -5,13 +5,20 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from img_env_tpu.crowd.obstacle_split import split_segments
 from img_env_tpu.crowd.orca import (
     OrcaConfig,
     orca_step,
     pref_velocity,
-    segments_from_aabbs,
 )
 from img_env_tpu.oracle.orca_oracle import orca_oracle_step
+
+
+def _split_segs(aabbs):
+    """Engine-side segments: through the RVO2 kd-tree splitting, as the
+    env reset builds them (crowd/obstacle_split.py)."""
+    seg, _ = split_segments(jnp.asarray(aabbs), jnp.ones(len(aabbs), bool))
+    return seg
 
 
 def _cluster_scene(rng, m=8, n_rob=3, n_obs=3):
@@ -46,7 +53,7 @@ def test_orca_single_step_parity(rng, trial):
      robot_pos, robot_vel, aabbs) = _cluster_scene(rng)
     m, n = len(ped_pos), len(robot_pos)
     cfg = OrcaConfig(time_step=0.4, max_obs_segments=16)
-    seg = segments_from_aabbs(jnp.asarray(aabbs), jnp.ones(len(aabbs), bool))
+    seg = _split_segs(aabbs)
     pref = _np_pref(ped_pos, goals)
 
     got_pos, got_vel = orca_step(
@@ -69,7 +76,7 @@ def test_orca_rollout_parity(rng):
      robot_pos, robot_vel, aabbs) = _cluster_scene(rng, m=6, n_rob=2, n_obs=2)
     m, n = len(ped_pos), len(robot_pos)
     cfg = OrcaConfig(time_step=0.4)
-    seg = segments_from_aabbs(jnp.asarray(aabbs), jnp.ones(len(aabbs), bool))
+    seg = _split_segs(aabbs)
 
     jp, jv = jnp.asarray(ped_pos), jnp.asarray(ped_vel)
     op, ov = ped_pos.copy(), ped_vel.copy()
@@ -94,7 +101,7 @@ def test_ervo_evac_parity(rng):
      robot_pos, robot_vel, aabbs) = _cluster_scene(rng, m=5, n_rob=2, n_obs=1)
     m, n = len(ped_pos), len(robot_pos)
     cfg = OrcaConfig(time_step=0.4)
-    seg = segments_from_aabbs(jnp.asarray(aabbs), jnp.ones(len(aabbs), bool))
+    seg = _split_segs(aabbs)
     pref = _np_pref(ped_pos, goals)
     # one beeping robot, one silent (radius 0 sentinel like the reference)
     sources = np.stack([robot_pos[0], np.zeros(2)])
