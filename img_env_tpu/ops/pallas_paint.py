@@ -96,24 +96,24 @@ def _paint_kernel(scalars_ref, acc_ref, tbl_ref, sh_ref, st_ref, out_ref, *,
     T32 = T.astype(jnp.int32)
     vis32 = T32 > 0
     wkey = jax.lax.broadcasted_iota(jnp.int32, (w, _LANES), 0) << 2
-    lane = jax.lax.broadcasted_iota(jnp.int32, (NR, _LANES), 1)
-    robot = jax.lax.broadcasted_iota(jnp.int32, (NR, _LANES), 0)
-    shf_a, stf_a = sh_a.astype(jnp.float32), st_a.astype(jnp.float32)
-    shf_b, stf_b = sh_b.astype(jnp.float32), st_b.astype(jnp.float32)
+    half_a = jax.lax.broadcasted_iota(jnp.int32, (w, _LANES), 1) < _BM
 
     # Unrolled robot loop, all-int32: int16 vector ops crash the Mosaic
     # compile helper, a fori_loop serializes 2.3x slower, and NR=64
     # unrolled emits a 12 MB module the helper rejects -- measured.
     for k in range(NR):
-        # lane-broadcast robot k's thresholds via half-masked one-hot MXU
-        # dots: lanes < 64 read window A, lanes >= 64 window B
-        ek_a = ((robot == k) & (lane < _BM)).astype(jnp.float32)
-        ek_b = ((robot == k) & (lane >= _BM)).astype(jnp.float32)
-        dot = lambda x, e: jax.lax.dot_general(
-            x, e, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        sh = (dot(shf_a, ek_a) + dot(shf_b, ek_b)).astype(jnp.int32)
-        st = (dot(stf_a, ek_a) + dot(stf_b, ek_b)).astype(jnp.int32)
+        # lane-broadcast robot k's thresholds (static lane slice + splat):
+        # lanes < 64 read window A, lanes >= 64 window B.  Replaces the
+        # earlier one-hot f32 MXU dots, whose K=32 contractions dominated
+        # the kernel (the quarter-block dead end measured the same cost).
+        sh = jnp.where(
+            half_a,
+            jnp.broadcast_to(sh_a[:, k:k + 1], (w, _LANES)),
+            jnp.broadcast_to(sh_b[:, k:k + 1], (w, _LANES)))
+        st = jnp.where(
+            half_a,
+            jnp.broadcast_to(st_a[:, k:k + 1], (w, _LANES)),
+            jnp.broadcast_to(st_b[:, k:k + 1], (w, _LANES)))
         code = jnp.where(
             T32 <= sh, 2,
             jnp.where(T32 == sh + 1, 3, jnp.where(T32 > st, 1, 0)))
@@ -141,7 +141,7 @@ def _paint_class(scalars, acc, tbl, sh3, st3, *, w: int,
         num_scalar_prefetch=1,
         grid=(steps, nbc),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),            # acc (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),               # acc (aliased)
             pl.BlockSpec((1, w, _LANES), lambda nc, b, s: (b, 0, 0)),
             pl.BlockSpec((1, r_pad, NR), lambda nc, b, s: (nc, 0, 0)),
             pl.BlockSpec((1, r_pad, NR), lambda nc, b, s: (nc, 0, 0)),
