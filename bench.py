@@ -56,6 +56,62 @@ def build():
     })
 
 
+def selfcheck(env, state) -> str:
+    """Assert the production Pallas kernels bit-match their XLA paths AT
+    PRODUCTION SHAPE on the current backend (the oracle-parity tests cover
+    the XLA paths; this closes the loop on the TPU kernels the bench times).
+    Returns 'ok' or raises."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from img_env_tpu.ops import pallas_fill, pallas_paint, polar, raster
+
+    st = env.statics
+    ps = st.polar
+    t = env.sensor_tables
+    poses = state.robots.pose
+    zero_p = (jnp.zeros((0, 3)), jnp.zeros((0, 1, 2)),
+              jnp.zeros((0, 1), bool))
+    args = (state.obs_map, st.resolution, poses,
+            jnp.asarray(st.robot_points), jnp.asarray(st.robot_mask),
+            zero_p[0], zero_p[1], zero_p[2], zero_p[1], zero_p[2],
+            zero_p[1], zero_p[2])
+
+    # robot raster: block one-hot MXU kernel vs XLA scatters
+    la_x = jax.jit(lambda: raster.build_layers(*args, robots_pallas=False))()
+    la_p = jax.jit(lambda: raster.build_layers(*args, robots_pallas=True))()
+    if not bool(jnp.all(la_x.packed == la_p.packed)):
+        raise AssertionError("selfcheck: pallas raster != XLA scatters")
+
+    # FOV fill: sorted-window one-hot matmul kernel vs XLA gather
+    occ_x = jax.jit(lambda: polar.fill_sorted(
+        ps, la_x.packed, st.resolution, poses, t=t))()
+    occ_p = jax.jit(lambda: pallas_fill.fill_sorted_pallas(
+        ps, la_x.packed, st.resolution, poses, t=t))()
+    if not bool(jnp.all(occ_x == occ_p)):
+        raise AssertionError("selfcheck: pallas fill != XLA gather fill")
+
+    # exact painter: half-block kernel vs XLA dense decode
+    if env.paint_ks is not None:
+        from img_env_tpu.ops import painter as painter_mod
+
+        _, _, aux = jax.jit(lambda o: polar.raycast_batched(
+            ps, o, t=t, return_aux=True))(occ_x)
+        s_hit, s_tail = jax.jit(lambda a: painter_mod.hit_steps(
+            st.painter, *a, t=t.painter))(aux)
+        v_x = jax.jit(lambda h, tl: painter_mod.paint_sorted(
+            st.painter, h, tl, t=t.painter))(s_hit, s_tail)
+        v_p = jax.jit(lambda h, tl: pallas_paint.paint_sorted_pallas(
+            env.paint_pst, env.paint_ks, h, tl,
+            tables=t.painter.kernel))(s_hit, s_tail)
+        mism = int(np.sum(np.asarray(v_x) != np.asarray(v_p)))
+        if mism:
+            raise AssertionError(
+                f"selfcheck: pallas painter != XLA decode ({mism} px)")
+    return "ok"
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -72,6 +128,12 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     state, obs = env.reset(key)
     mpc_state = ctl.init_state()
+
+    if "--selfcheck" in sys.argv:
+        print(f"# selfcheck: {selfcheck(env, state)} "
+              f"(pallas kernels bit-match XLA at production shape, "
+              f"backend={jax.default_backend()})", file=sys.stderr)
+        return
 
     @jax.jit
     def control_step(key, state, mpc_state, tables):
@@ -156,69 +218,134 @@ def main() -> None:
 
     # secondary: crowded scene — 200 robots + 200 SFM pedestrians, the
     # reference's headline scale ("200 robots and 200 obstacles have been
-    # simulated", README.md:12) with a live crowd model on top
-    try:
-        n_ped = 200
-        d = {
-            "env_name": "bench200ped",
-            "control_hz": 0.4,
-            "robot": dict(total=N_ROBOTS, shape=["circle"],
-                          size=[[0.0, 0.0, 0.17]],
-                          begin_poses_type=["range"],
-                          begin_poses=[[0.5, 15.5, 0.5, 15.5]],
-                          target_poses_type=["range"],
-                          target_poses=[[0.5, 15.5, 0.5, 15.5]]),
-            "object": dict(total=0),
-            "ped_sim": dict(total=n_ped, type="pedscene",
-                            max_speed=[0.5], shape=["leg"],
-                            size=[[0.0, 0.1, 0.1]],
-                            begin_poses_type=["range"],
-                            begin_poses=[[0.5, 15.5, 0.5, 15.5]],
-                            target_poses_type=["range"],
-                            target_poses=[[0.5, 15.5, 0.5, 15.5]],
-                            go_back="yes"),
-            "global_map": {"map_file": "room_16_empty.png",
-                           "resolution": 0.1},
-            "view_map": {"resolution": 0.015, "width": 6.0, "height": 6.0},
-            "range_total": 960, "max_ped": 10, "state_dim": 3,
-            "sensor_mode": "fast",
-        }
-        from img_env_tpu.config import EnvConfig
+    # simulated", README.md:12) with a live crowd model on top.  Measured
+    # at BOTH sensor modes; 'parity' (bit-exact sensors) is the headline
+    # crowd number, 'fast' the RL-training path.
+    n_ped = 200
+    for mode in ("parity", "fast"):
+        try:
+            d = {
+                "env_name": "bench200ped",
+                "control_hz": 0.4,
+                "robot": dict(total=N_ROBOTS, shape=["circle"],
+                              size=[[0.0, 0.0, 0.17]],
+                              begin_poses_type=["range"],
+                              begin_poses=[[0.5, 15.5, 0.5, 15.5]],
+                              target_poses_type=["range"],
+                              target_poses=[[0.5, 15.5, 0.5, 15.5]]),
+                "object": dict(total=0),
+                "ped_sim": dict(total=n_ped, type="pedscene",
+                                max_speed=[0.5], shape=["leg"],
+                                size=[[0.0, 0.1, 0.1]],
+                                begin_poses_type=["range"],
+                                begin_poses=[[0.5, 15.5, 0.5, 15.5]],
+                                target_poses_type=["range"],
+                                target_poses=[[0.5, 15.5, 0.5, 15.5]],
+                                go_back="yes"),
+                "global_map": {"map_file": "room_16_empty.png",
+                               "resolution": 0.1},
+                "view_map": {"resolution": 0.015, "width": 6.0,
+                             "height": 6.0},
+                "range_total": 960, "max_ped": 10, "state_dim": 3,
+                "sensor_mode": mode,
+            }
+            from img_env_tpu.config import EnvConfig
 
-        cfg_p = EnvConfig.from_dict(d)
-        env_p = NavEnv(cfg_p)
-        ctl_p = MpcController(
-            env_p, MppiConfig(horizon=MPPI_HORIZON, samples=MPPI_SAMPLES))
-        state_p, _ = env_p.reset(jax.random.PRNGKey(2))
-        ms_p = ctl_p.init_state()
+            cfg_p = EnvConfig.from_dict(d)
+            env_p = NavEnv(cfg_p)
+            ctl_p = MpcController(
+                env_p, MppiConfig(horizon=MPPI_HORIZON, samples=MPPI_SAMPLES))
+            state_p, _ = env_p.reset(jax.random.PRNGKey(2))
+            ms_p = ctl_p.init_state()
+
+            @jax.jit
+            def control_step_p(key, state, mpc_state, tables,
+                               env_p=env_p, ctl_p=ctl_p):
+                k_plan, k_next = jax.random.split(key)
+                actions, mpc_state, costs = ctl_p.act_fn(
+                    k_plan, state, mpc_state)
+                state, obs, *_ = env_p.step_fn(state, actions, tables)
+                chk = (obs.sensor_maps.sum() + obs.lasers.sum()
+                       + obs.ped_vector_states.sum())
+                return k_next, state, mpc_state, chk
+
+            tp = env_p.sensor_tables
+            kp = jax.random.PRNGKey(3)
+            for _ in range(WARMUP):
+                kp, state_p, ms_p, chk = control_step_p(kp, state_p, ms_p, tp)
+            jax.block_until_ready(chk)
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                kp, state_p, ms_p, chk = control_step_p(kp, state_p, ms_p, tp)
+            jax.block_until_ready(chk)
+            dtp = time.perf_counter() - t0
+            print(
+                f"# crowd-mode/{mode} (+{n_ped} SFM leg peds, "
+                f"{mode} sensors): {dtp / ITERS * 1e3:.1f} ms/step, "
+                f"{ITERS * N_ROBOTS * MPPI_SAMPLES / dtp:.0f} rollouts/s",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"# crowd-mode/{mode} failed: {e}", file=sys.stderr)
+
+    # secondary: multi-scene batch on one chip — S scenes x 50 robots
+    # stepped as ONE vmapped program (the reference fans out one ROS node
+    # per scene, create_launch.py:25-34; here scenes share the chip)
+    try:
+        S_SCENES, N_SC_ROB = 4, 50
+        from img_env_tpu.config import EnvConfig
+        from img_env_tpu.parallel.batched_env import BatchedNavEnv
+
+        import dataclasses
+
+        cfg_s = build()
+        cfg_s = cfg_s.replace(
+            robot=dataclasses.replace(cfg_s.robot, total=N_SC_ROB))
+        env_s = BatchedNavEnv(cfg_s, mesh=None)
+        ctl_s = MpcController(
+            env_s.core, MppiConfig(horizon=MPPI_HORIZON,
+                                   samples=MPPI_SAMPLES))
+        keys_s = jax.random.split(jax.random.PRNGKey(5), S_SCENES)
+        states_s, _ = env_s.reset(keys_s)
+        ms_s = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (S_SCENES,) + x.shape),
+            ctl_s.init_state())
 
         @jax.jit
-        def control_step_p(key, state, mpc_state, tables):
+        def control_step_s(key, states, mss):
             k_plan, k_next = jax.random.split(key)
-            actions, mpc_state, costs = ctl_p.act_fn(k_plan, state, mpc_state)
-            state, obs, *_ = env_p.step_fn(state, actions, tables)
-            chk = (obs.sensor_maps.sum() + obs.lasers.sum()
-                   + obs.ped_vector_states.sum())
-            return k_next, state, mpc_state, chk
+            kk = jax.random.split(k_plan, S_SCENES)
+            actions, mss, costs = jax.vmap(ctl_s.act_fn)(kk, states, mss)
+            states, obs, *_ = env_s.step_fn(states, actions)
+            chk = obs.sensor_maps.sum() + obs.lasers.sum() + costs.sum()
+            return k_next, states, mss, chk
 
-        tp = env_p.sensor_tables
-        kp = jax.random.PRNGKey(3)
+        ks = jax.random.PRNGKey(6)
         for _ in range(WARMUP):
-            kp, state_p, ms_p, chk = control_step_p(kp, state_p, ms_p, tp)
+            ks, states_s, ms_s, chk = control_step_s(ks, states_s, ms_s)
         jax.block_until_ready(chk)
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            kp, state_p, ms_p, chk = control_step_p(kp, state_p, ms_p, tp)
+            ks, states_s, ms_s, chk = control_step_s(ks, states_s, ms_s)
         jax.block_until_ready(chk)
-        dtp = time.perf_counter() - t0
+        dts = time.perf_counter() - t0
+        agg = ITERS * S_SCENES * N_SC_ROB * MPPI_SAMPLES / dts
         print(
-            f"# crowd-mode (+{n_ped} SFM leg peds): "
-            f"{dtp / ITERS * 1e3:.1f} ms/step, "
-            f"{ITERS * N_ROBOTS * MPPI_SAMPLES / dtp:.0f} rollouts/s",
+            f"# multi-scene: S={S_SCENES} x {N_SC_ROB} robots (parity "
+            f"sensors, one chip), {dts / ITERS * 1e3:.1f} ms/step, "
+            f"{agg:.0f} aggregate rollouts/s",
             file=sys.stderr,
         )
     except Exception as e:
-        print(f"# crowd-mode failed: {e}", file=sys.stderr)
+        print(f"# multi-scene failed: {e}", file=sys.stderr)
+
+    # kernel selfcheck at production shape, recorded in the bench tail
+    try:
+        print(f"# selfcheck: {selfcheck(env, state)} "
+              f"(pallas kernels bit-match XLA at production shape)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# selfcheck FAILED: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

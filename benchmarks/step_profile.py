@@ -1,14 +1,58 @@
-"""Per-stage timing of the bench200 full-sensor control step (honest).
+"""Per-stage timing + roofline of the bench200 full-sensor control step.
 
 Every stage is timed with varying inputs and a forced scalar fetch
 (benchmarks/timing.py) — plain block_until_ready loops report fake sub-ms
 numbers through the axon tunnel.
+
+Each stage also reports a ROOFLINE row: XLA's own cost analysis (flops +
+bytes accessed) for the compiled stage, the achieved GB/s and TFLOP/s at
+the measured time, and the bound-setting "light" time
+``max(bytes/HBM_peak, flops/MXU_peak)`` — the distance from speed of
+light on this chip.  Pallas kernels are invisible to XLA's counter, so
+their table/stream traffic is added from the kernel statics (the
+``+pallas`` bytes column).
 """
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 
 from benchmarks.timing import fetch_ms, rtt_ms
+
+# v5e per-chip peaks (public spec: 197 bf16 TFLOP/s, 819 GB/s HBM)
+PEAK_BW_GBS = 819.0
+PEAK_TFLOPS = 197.0
+
+
+def xla_cost(jitfn, args):
+    """(flops, bytes accessed) of the compiled program, from XLA."""
+    try:
+        c = jitfn.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def prof(name, jitfn, make_args, extra_bytes=0.0, extra_flops=0.0):
+    """fetch_ms + a roofline row.  extra_* add Pallas-side traffic that
+    XLA's counter cannot see (kernel tables / streamed operands)."""
+    dev_ms = fetch_ms(jitfn, make_args, name=name)
+    flops, bts = xla_cost(jitfn, make_args(0))
+    flops += extra_flops
+    bts += extra_bytes
+    if dev_ms > 0 and (flops or bts):
+        gbs = bts / dev_ms / 1e6
+        tfl = flops / dev_ms / 1e9
+        light_ms = max(bts / PEAK_BW_GBS / 1e6, flops / PEAK_TFLOPS / 1e9)
+        bound = ("BW" if bts / PEAK_BW_GBS / 1e6 >= flops / PEAK_TFLOPS / 1e9
+                 else "MXU")
+        print(f"{'':8s}roofline: {bts/1e6:9.1f} MB {flops/1e9:9.2f} GF -> "
+              f"{gbs:7.1f} GB/s ({100*gbs/PEAK_BW_GBS:5.1f}%BW) "
+              f"{tfl:7.2f} TF/s ({100*tfl/PEAK_TFLOPS:5.1f}%MXU) "
+              f"light {light_ms:6.2f} ms [{bound}-bound, "
+              f"{dev_ms/max(light_ms,1e-9):5.1f}x off]")
+    return dev_ms
 
 
 def main():
@@ -29,7 +73,39 @@ def main():
     ps = st.polar
     t = env.sensor_tables
     base_pose = state.robots.pose
+    n_rob = int(base_pose.shape[0])
     print(f"rtt floor: {rtt_ms():.2f} ms")
+    print(f"rooflines vs v5e peaks: {PEAK_BW_GBS:.0f} GB/s HBM, "
+          f"{PEAK_TFLOPS:.0f} TFLOP/s MXU (XLA cost model + Pallas-side "
+          f"stream estimates; VPU-bound stages look artificially far from "
+          f"'light')")
+
+    # Pallas-side traffic XLA cannot count --------------------------------
+    fw = int(ps.fill_window)
+    bm_k, bn_k, n_cp = pallas_fill._block_dims(ps, float(st.resolution))
+    nf = int(ps.n_fill_slots)
+    wins = ((nf + fw * pallas_fill.WIN_PER_STEP - 1)
+            // (fw * pallas_fill.WIN_PER_STEP)) * pallas_fill.WIN_PER_STEP
+    map_h, map_w = state.obs_map.shape
+    fill_extra_bytes = (n_rob * wins * fw * 8        # pix tables re-stream
+                        + n_rob * wins * fw * 4      # out
+                        + map_h * map_w * 2)         # packed map, once
+    fill_extra_flops = n_rob * wins * 2.0 * bm_k * bn_k * fw  # one-hot dots
+
+    paint_extra_bytes = paint_extra_flops = 0.0
+    if env.paint_ks is not None:
+        from img_env_tpu.ops.pallas_paint import NR as PAINT_NR
+
+        ks_p = env.paint_ks
+        tbl_bytes = sum(cl.sstep.nbytes for cl in ks_p.classes)
+        chunks = (n_rob + PAINT_NR - 1) // PAINT_NR
+        paint_extra_bytes = (chunks * tbl_bytes             # tables/chunk
+                             + n_rob * ks_p.n_slots * 4     # acc out
+                             + chunks * ks_p.r_pad * PAINT_NR * 8)
+        ent = sum(cl.sstep.shape[0] * cl.w for cl in ks_p.classes) * 128
+        # per robot: 2 one-hot dots/block-pair (MXU) + the compare chain
+        # (VPU; counted as flops so the row is not absurdly 'light')
+        paint_extra_flops = n_rob * ent * (2.0 * PAINT_NR + 6.0)
 
     def jitter(i):
         return base_pose.at[:, 2].add(0.001 * i)
@@ -39,8 +115,8 @@ def main():
         a, m, c = ctl.act_fn(key, state, mpc_state)
         return a.sum() + c.sum()
 
-    fetch_ms(act_sum, lambda i: (jax.random.PRNGKey(i), state, mpc_state),
-             name="MPC act_fn (MPPI K=128 H=12)")
+    prof("MPC act_fn (MPPI K=128 H=12)", act_sum,
+         lambda i: (jax.random.PRNGKey(i), state, mpc_state))
 
     def layers_of(state, poses):
         return raster.build_layers(
@@ -54,8 +130,7 @@ def main():
     def layers_sum(state, poses):
         return layers_of(state, poses).packed.sum()
 
-    fetch_ms(layers_sum, lambda i: (state, jitter(i)),
-             name="raster.build_layers")
+    prof("raster.build_layers", layers_sum, lambda i: (state, jitter(i)))
 
     layers0 = jax.jit(layers_of)(state, base_pose)
 
@@ -64,8 +139,8 @@ def main():
         occ = polar.fill_sorted(ps, layers.packed, st.resolution, poses, t=t)
         return occ.sum()
 
-    fetch_ms(fill_gather_sum, lambda i: (layers0, jitter(i), t),
-             name="fill: XLA gather")
+    prof("fill: XLA gather", fill_gather_sum,
+         lambda i: (layers0, jitter(i), t))
 
     @jax.jit
     def fill_pallas_sum(layers, poses, t):
@@ -73,8 +148,9 @@ def main():
             ps, layers.packed, st.resolution, poses, t=t)
         return occ.sum()
 
-    fetch_ms(fill_pallas_sum, lambda i: (layers0, jitter(i), t),
-             name="fill: Pallas matmul")
+    prof("fill: Pallas matmul", fill_pallas_sum,
+         lambda i: (layers0, jitter(i), t),
+         extra_bytes=fill_extra_bytes, extra_flops=fill_extra_flops)
 
     occ0 = jax.jit(lambda l, p, t: pallas_fill.fill_sorted_pallas(
         ps, l.packed, st.resolution, p, t=t))(layers0, base_pose, t)
@@ -85,7 +161,7 @@ def main():
         hits, angular = polar.raycast_batched(ps, occ, t=t)
         return hits.sum() + angular.sum()
 
-    fetch_ms(raycast_sum, lambda i: (occ0, t, i), name="polar.raycast_batched")
+    prof("polar.raycast_batched", raycast_sum, lambda i: (occ0, t, i))
 
     hits0, _ = jax.jit(lambda o, t: polar.raycast_batched(ps, o, t=t))(occ0, t)
 
@@ -94,8 +170,8 @@ def main():
         vals = polar.shadow_values_sorted(ps, occ, hits + 0.0001 * i, t=t)
         return vals.sum()
 
-    fetch_ms(shadow_sum, lambda i: (occ0, hits0, t, i),
-             name="polar.shadow_values_sorted (legacy approx)")
+    prof("polar.shadow_values_sorted (legacy approx)", shadow_sum,
+         lambda i: (occ0, hits0, t, i))
 
     if env.paint_ks is not None:
         from img_env_tpu.ops import painter as painter_mod
@@ -112,8 +188,9 @@ def main():
                 tables=t.painter.kernel)
             return vals.sum()
 
-        fetch_ms(paint_sum, lambda i: (occ0, t, i),
-                 name="exact painter (raycast aux + Pallas kernel)")
+        prof("exact painter (raycast aux + Pallas kernel)", paint_sum,
+             lambda i: (occ0, t, i),
+             extra_bytes=paint_extra_bytes, extra_flops=paint_extra_flops)
 
     vals0 = jax.jit(lambda o, h, t: polar.shadow_values_sorted(
         ps, o, h, t=t))(occ0, hits0, t)
@@ -125,7 +202,7 @@ def main():
             jnp.asarray(st.own_slots_ok))
         return v.sum()
 
-    fetch_ms(stamp_sum, lambda i: (vals0, i), name="polar.stamp_self_sorted")
+    prof("polar.stamp_self_sorted", stamp_sum, lambda i: (vals0, i))
 
     @jax.jit
     def resize_sum(vals, t, i):
@@ -133,8 +210,8 @@ def main():
             ps, vals + 0.0001 * i, tuple(cfg.image_size), t=t)
         return sm.sum()
 
-    fetch_ms(resize_sum, lambda i: (vals0, t, i),
-             name="polar.sensor_maps_from_sorted")
+    prof("polar.sensor_maps_from_sorted", resize_sum,
+         lambda i: (vals0, t, i))
 
     @jax.jit
     def observe_sum(state, poses, tables):
@@ -142,8 +219,9 @@ def main():
         s3, o2 = env._observe(s2, tables)
         return o2.sensor_maps.sum() + o2.lasers.sum()
 
-    fetch_ms(observe_sum, lambda i: (state, jitter(i), t),
-             name="full _observe")
+    prof("full _observe", observe_sum, lambda i: (state, jitter(i), t),
+         extra_bytes=fill_extra_bytes + paint_extra_bytes,
+         extra_flops=fill_extra_flops + paint_extra_flops)
 
     @jax.jit
     def step_sum(state, actions, tables):
@@ -151,8 +229,10 @@ def main():
         return o2.sensor_maps.sum() + o2.lasers.sum() + r.sum()
 
     acts = jnp.zeros((cfg.robot.total, 3))
-    fetch_ms(step_sum, lambda i: (state, acts.at[:, 0].add(0.001 * i), t),
-             name="full env.step_fn")
+    prof("full env.step_fn", step_sum,
+         lambda i: (state, acts.at[:, 0].add(0.001 * i), t),
+         extra_bytes=fill_extra_bytes + paint_extra_bytes,
+         extra_flops=fill_extra_flops + paint_extra_flops)
 
     @jax.jit
     def control_sum(key, state, mpc_state, tables):
@@ -161,9 +241,10 @@ def main():
         state, o2, r, d, info = env.step_fn(state, actions, tables)
         return o2.sensor_maps.sum() + o2.lasers.sum() + costs.sum()
 
-    fetch_ms(control_sum,
-             lambda i: (jax.random.PRNGKey(i), state, mpc_state, t),
-             name="full control step (act + step)")
+    prof("full control step (act + step)", control_sum,
+         lambda i: (jax.random.PRNGKey(i), state, mpc_state, t),
+         extra_bytes=fill_extra_bytes + paint_extra_bytes,
+         extra_flops=fill_extra_flops + paint_extra_flops)
 
 
 if __name__ == "__main__":
