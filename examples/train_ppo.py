@@ -1,10 +1,17 @@
 """Sharded PPO training over the batched env — the end-to-end training demo.
 
     python examples/train_ppo.py [--scenes 8] [--updates 20] [--unroll 16]
+    python examples/train_ppo.py --cpu --curve /tmp/ppo_curve  # learning demo
 
 Scenes shard over the device mesh (1 real chip -> mesh of 1; on a pod slice
 every chip takes scenes/n_dev scenes).  The whole update (rollout + GAE +
 clipped PPO step) is ONE compiled program per call.
+
+The env exists to TRAIN policies (the reference trains the Sensors-20 /
+IROS-21 agents, README.md:159-186): with the default small config the
+reward_mean and arrive_rate curves rise within ~50 updates;
+``--curve PREFIX`` writes PREFIX.csv and PREFIX.png so the run leaves an
+artifact (tests/test_ppo.py::test_reward_improves asserts the same trend).
 """
 
 from __future__ import annotations
@@ -26,6 +33,10 @@ def main():
     ap.add_argument("--robots", type=int, default=2)
     ap.add_argument("--peds", type=int, default=2)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--curve", default=None,
+                    help="write PREFIX.csv + PREFIX.png learning curves")
     args = ap.parse_args()
 
     if args.cpu:
@@ -67,23 +78,27 @@ def main():
     mesh = make_mesh(scene=n_dev, model=1)
     env = BatchedNavEnv(cfg, mesh=mesh, jit=False)
     pcfg = PolicyConfig.from_env_config(cfg)
-    model, params = init_policy(jax.random.PRNGKey(0), pcfg, batch=2)
+    model, params = init_policy(jax.random.PRNGKey(args.seed), pcfg, batch=2)
     params = jax.device_put(params, tp_param_shardings(params, mesh))
 
     init_fn, train_step = make_train_step(
-        env, model, PpoConfig(unroll=args.unroll))
+        env, model, PpoConfig(unroll=args.unroll, lr=args.lr))
     ts = init_fn(params)
     step = jax.jit(train_step)
 
-    keys = jax.random.split(jax.random.PRNGKey(1), args.scenes)
+    history = []
+    keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), args.scenes)
     with mesh:
         states, obs = jax.jit(env.reset_fn)(keys)
-        key = jax.random.PRNGKey(2)
+        key = jax.random.PRNGKey(args.seed + 2)
         t0 = time.perf_counter()
         last_u, last_t = 0, t0
         for u in range(args.updates):
             key, k = jax.random.split(key)
             ts, states, obs, metrics = step(ts, states, obs, k)
+            history.append((u + 1, float(metrics["reward_mean"]),
+                            float(metrics["arrive_rate"]),
+                            float(metrics["collision_rate"])))
             if (u + 1) % 5 == 0 or u == 0:
                 # fetching the metrics forces the update (the TPU tunnel
                 # defers otherwise); rate is per window, excluding compile
@@ -94,8 +109,36 @@ def main():
                 last_u, last_t = u + 1, now
                 print(f"update {u+1:4d}  loss {loss:9.4f}  "
                       f"reward {float(metrics['reward_mean']):8.3f}  "
+                      f"arrive {float(metrics['arrive_rate']):5.2f}  "
+                      f"collide {float(metrics['collision_rate']):5.2f}  "
                       f"entropy {float(metrics['entropy']):6.3f}  "
                       f"{sps:8.0f} robot-steps/s")
+
+    h = np.asarray(history)
+    k = max(len(h) // 5, 1)
+    print(f"reward first-{k} mean {h[:k, 1].mean():.3f} -> "
+          f"last-{k} mean {h[-k:, 1].mean():.3f}; "
+          f"arrive {h[:k, 2].mean():.2f} -> {h[-k:, 2].mean():.2f}")
+    if args.curve:
+        np.savetxt(
+            args.curve + ".csv", h, delimiter=",", comments="",
+            header="update,reward_mean,arrive_rate,collision_rate")
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, axes = plt.subplots(1, 2, figsize=(9, 3.2))
+            axes[0].plot(h[:, 0], h[:, 1])
+            axes[0].set_xlabel("update"); axes[0].set_ylabel("reward_mean")
+            axes[1].plot(h[:, 0], h[:, 2], label="arrive")
+            axes[1].plot(h[:, 0], h[:, 3], label="collide")
+            axes[1].set_xlabel("update"); axes[1].legend()
+            fig.tight_layout()
+            fig.savefig(args.curve + ".png", dpi=110)
+            print(f"wrote {args.curve}.csv/.png")
+        except Exception as e:
+            print(f"curve png skipped: {e}")
     print("done")
 
 

@@ -120,6 +120,14 @@ def make_train_step(
         keys = jax.random.split(k_steps, cfg.unroll)
         (states, obs), traj = jax.lax.scan(body, (states, obs), keys)
 
+        # episode outcome rates at the end of the unroll, BEFORE scenes
+        # re-draw (the TestEpisodeWrapper-style learning curve signal)
+        ep_stats = {
+            "arrive_rate": states.robots.arrive.astype(jnp.float32).mean(),
+            "collision_rate": jnp.clip(
+                states.robots.collision, 0, 1).astype(jnp.float32).mean(),
+        }
+
         if cfg.autoreset:
             # NeverStop between rollouts: scenes with every robot down or
             # past the time limit restart from a fresh key
@@ -137,7 +145,7 @@ def make_train_step(
 
             states = jax.tree_util.tree_map(pick, rstates, states)
             obs = jax.tree_util.tree_map(pick, robs, obs)
-        return states, obs, traj
+        return states, obs, traj, ep_stats
 
     def gae(values, rewards, dones, last_value):
         def body(carry, xs):
@@ -175,7 +183,7 @@ def make_train_step(
         """One PPO update: unroll -> GAE -> epochs x shuffled minibatches of
         clipped updates with global-norm gradient clipping."""
         k_roll, k_perm = jax.random.split(key)
-        states, obs, traj = rollout(ts.params, states, obs, k_roll)
+        states, obs, traj, ep_stats = rollout(ts.params, states, obs, k_roll)
         feats, act, logp_old, value_old, reward, done = traj
         feats_last = obs_features(obs, use_ped)
         last_value = _dist(ts.params, feats_last)[-1]
@@ -217,6 +225,7 @@ def make_train_step(
             epoch_body, (ts.params, ts.opt_state), keys)
         metrics = {k: v.mean() for k, v in ms.items()}
         metrics["reward_mean"] = reward.mean()
+        metrics.update(ep_stats)
         return TrainState(params, opt_state, ts.step + 1), states, obs, metrics
 
     return init_fn, train_step
