@@ -92,8 +92,8 @@ def selfcheck(env, state) -> str:
     if not bool(jnp.all(occ_x == occ_p)):
         raise AssertionError("selfcheck: pallas fill != XLA gather fill")
 
-    # exact painter: half-block kernel vs XLA dense decode
-    if env.paint_ks is not None:
+    # exact painter: active Pallas kernel vs XLA dense decode
+    if env.paint_ks is not None or env.paint_kst is not None:
         from img_env_tpu.ops import painter as painter_mod
 
         _, _, aux = jax.jit(lambda o: polar.raycast_batched(
@@ -102,9 +102,16 @@ def selfcheck(env, state) -> str:
             st.painter, *a, t=t.painter))(aux)
         v_x = jax.jit(lambda h, tl: painter_mod.paint_sorted(
             st.painter, h, tl, t=t.painter))(s_hit, s_tail)
-        v_p = jax.jit(lambda h, tl: pallas_paint.paint_sorted_pallas(
-            env.paint_pst, env.paint_ks, h, tl,
-            tables=t.painter.kernel))(s_hit, s_tail)
+        if env.paint_kst is not None:
+            from img_env_tpu.ops import pallas_paint_t
+
+            v_p = jax.jit(lambda h, tl: pallas_paint_t.paint_sorted_pallas_t(
+                env.paint_kst, h, tl,
+                tables=t.painter.kernel_t))(s_hit, s_tail)
+        else:
+            v_p = jax.jit(lambda h, tl: pallas_paint.paint_sorted_pallas(
+                env.paint_pst, env.paint_ks, h, tl,
+                tables=t.painter.kernel))(s_hit, s_tail)
         mism = int(np.sum(np.asarray(v_x) != np.asarray(v_p)))
         if mism:
             raise AssertionError(

@@ -106,6 +106,20 @@ def main():
         # per robot: 2 one-hot dots/block-pair (MXU) + the compare chain
         # (VPU; counted as flops so the row is not absurdly 'light')
         paint_extra_flops = n_rob * ent * (2.0 * PAINT_NR + 6.0)
+    elif env.paint_kst is not None:
+        from img_env_tpu.ops.pallas_paint_t import G8, NRT
+
+        ks_t = env.paint_kst
+        n_pad_t = (n_rob + NRT - 1) // NRT * NRT
+        nch_t = n_pad_t // NRT
+        tbl_bytes = sum(cl.ta.nbytes + cl.tb.nbytes for cl in ks_t.classes)
+        rows = sum(cl.ta.shape[0] for cl in ks_t.classes)
+        paint_extra_bytes = (nch_t * tbl_bytes              # tables/chunk
+                             + rows * G8 * n_pad_t * 4      # class outs
+                             + nch_t * ks_t.r_pad * NRT * 8)  # thresholds
+        ent = sum(cl.ta.shape[0] * G8 * cl.w for cl in ks_t.classes)
+        # ~9 VPU ops per (window entry, robot): compare chain + key max
+        paint_extra_flops = n_pad_t * ent * 9.0
 
     def jitter(i):
         return base_pose.at[:, 2].add(0.001 * i)
@@ -173,9 +187,18 @@ def main():
     prof("polar.shadow_values_sorted (legacy approx)", shadow_sum,
          lambda i: (occ0, hits0, t, i))
 
-    if env.paint_ks is not None:
+    if env.paint_ks is not None or env.paint_kst is not None:
         from img_env_tpu.ops import painter as painter_mod
-        from img_env_tpu.ops import pallas_paint
+        from img_env_tpu.ops import pallas_paint, pallas_paint_t
+
+        def paint_active(s_hit, s_tail):
+            if env.paint_kst is not None:
+                return pallas_paint_t.paint_sorted_pallas_t(
+                    env.paint_kst, s_hit, s_tail,
+                    tables=t.painter.kernel_t)
+            return pallas_paint.paint_sorted_pallas(
+                env.paint_pst, env.paint_ks, s_hit, s_tail,
+                tables=t.painter.kernel)
 
         @jax.jit
         def paint_sum(occ, t, i):
@@ -183,14 +206,41 @@ def main():
             _, _, aux = polar.raycast_batched(ps, occ, t=t, return_aux=True)
             s_hit, s_tail = painter_mod.hit_steps(st.painter, *aux,
                                                   t=t.painter)
-            vals = pallas_paint.paint_sorted_pallas(
-                env.paint_pst, env.paint_ks, s_hit, s_tail,
-                tables=t.painter.kernel)
-            return vals.sum()
+            return paint_active(s_hit, s_tail).sum()
 
-        prof("exact painter (raycast aux + Pallas kernel)", paint_sum,
+        kind = "gen-2 transposed" if env.paint_kst is not None else "gen-1"
+        prof(f"exact painter (raycast aux + {kind} kernel)", paint_sum,
              lambda i: (occ0, t, i),
              extra_bytes=paint_extra_bytes, extra_flops=paint_extra_flops)
+
+        # A/B: time the OTHER painter kernel from the same thresholds
+        _, _, aux0 = jax.jit(lambda o: polar.raycast_batched(
+            ps, o, t=t, return_aux=True))(occ0)
+        sh0, st0_ = jax.jit(lambda a: painter_mod.hit_steps(
+            st.painter, *a, t=t.painter))(aux0)
+        if env.paint_kst is not None:
+            ks_b = pallas_paint.PaintKernelStatics.build(env.paint_pst)
+            tb_b = pallas_paint.make_paint_tables(ks_b)
+
+            @jax.jit
+            def paint_b_sum(sh, stl, i):
+                return pallas_paint.paint_sorted_pallas(
+                    env.paint_pst, ks_b, sh + 0 * i, stl,
+                    tables=tb_b).sum()
+
+            fetch_ms(paint_b_sum, lambda i: (sh0, st0_, i),
+                     name="  (A/B) gen-1 block kernel, decode only")
+        else:
+            kst_b = pallas_paint_t.PaintTStatics.build(env.paint_pst)
+            tt_b = pallas_paint_t.make_paint_t_tables(kst_b)
+
+            @jax.jit
+            def paint_t_sum(sh, stl, i):
+                return pallas_paint_t.paint_sorted_pallas_t(
+                    kst_b, sh + 0 * i, stl, tables=tt_b).sum()
+
+            fetch_ms(paint_t_sum, lambda i: (sh0, st0_, i),
+                     name="  (A/B) gen-2 transposed kernel, decode only")
 
     vals0 = jax.jit(lambda o, h, t: polar.shadow_values_sorted(
         ps, o, h, t=t))(occ0, hits0, t)

@@ -252,6 +252,10 @@ class EnvConfig:
     fast_sensor_scale: int = 3        # 'fast': view grid coarsened 3x (9x
                                       #   fewer gathers; lasers quantized to
                                       #   scale*view_resolution)
+    paint_mode: str = "auto"          # exact-painter kernel: 'auto'
+                                      #   (transposed robots-in-lanes kernel,
+                                      #   ops/pallas_paint_t.py) | 'block'
+                                      #   (gen-1 64-slot-block kernel) | 'xla'
     max_obs_segments: int = 16        # ORCA obstacle segments per agent
     reset_trials: int = 64            # bounded rejection-sampling trials
     reset_redraws: int = 10           # whole-scenario re-draws when a sample
@@ -319,7 +323,8 @@ class EnvConfig:
             "view_angle_begin", "view_angle_end", "view_min_dist",
             "view_max_dist", "beep_r", "ped_ca_p", "relation_ped_robo",
             "target_min_dist", "num_scenes", "sensor_mode", "fill_mode",
-            "fast_sensor_scale", "max_obs_segments", "reset_trials",
+            "paint_mode", "fast_sensor_scale", "max_obs_segments",
+            "reset_trials",
             "reset_redraws", "map_dir",
         ]
         for f in simple_fields:

@@ -280,18 +280,32 @@ class NavEnv:
         # full) — keep the full-view paint.
         self.paint_ks = None
         self.paint_pst = None
+        self.paint_kst = None
         if (self.statics.painter is not None
                 and cfg.fill_mode != "gather"
+                and cfg.paint_mode != "xla"
                 and (cfg.fill_mode == "pallas"
                      or jax.default_backend() != "cpu")):
-            from img_env_tpu.ops import pallas_paint
-
             self.paint_pst = self.statics.painter
-            self.paint_ks = pallas_paint.PaintKernelStatics.build(
-                self.paint_pst)
-            self.sensor_tables = self.sensor_tables._replace(
-                painter=self.sensor_tables.painter._replace(
-                    kernel=pallas_paint.make_paint_tables(self.paint_ks)))
+            if cfg.paint_mode in ("auto", "t"):
+                # gen-2 transposed kernel: robots in lanes, 8-slot group
+                # windows (3.3x fewer window entries at production shape)
+                from img_env_tpu.ops import pallas_paint_t
+
+                self.paint_kst = pallas_paint_t.PaintTStatics.build(
+                    self.paint_pst)
+                self.sensor_tables = self.sensor_tables._replace(
+                    painter=self.sensor_tables.painter._replace(
+                        kernel_t=pallas_paint_t.make_paint_t_tables(
+                            self.paint_kst)))
+            else:   # 'block': gen-1 64-slot-block kernel
+                from img_env_tpu.ops import pallas_paint
+
+                self.paint_ks = pallas_paint.PaintKernelStatics.build(
+                    self.paint_pst)
+                self.sensor_tables = self.sensor_tables._replace(
+                    painter=self.sensor_tables.painter._replace(
+                        kernel=pallas_paint.make_paint_tables(self.paint_ks)))
         else:
             self.sensor_tables = None
         # FOV-fill backend: the Pallas matmul kernel replaces XLA's scalar
@@ -723,7 +737,13 @@ class NavEnv:
                 pt = t.painter if t is not None else None
                 s_hit, s_tail = painter_mod.hit_steps(
                     st.painter, *aux, t=pt)
-                if self.paint_ks is not None:
+                if self.paint_kst is not None:
+                    from img_env_tpu.ops import pallas_paint_t
+
+                    vals = pallas_paint_t.paint_sorted_pallas_t(
+                        self.paint_kst, s_hit, s_tail,
+                        tables=pt.kernel_t if pt is not None else None)
+                elif self.paint_ks is not None:
                     from img_env_tpu.ops import pallas_paint
 
                     vals = pallas_paint.paint_sorted_pallas(

@@ -277,6 +277,7 @@ class PainterTables(NamedTuple):
     wide_slots: jnp.ndarray = None
     wide_sstep: jnp.ndarray = None
     kernel: Tuple = None    # pallas_paint.make_paint_tables (TPU path)
+    kernel_t: dict = None   # pallas_paint_t.make_paint_t_tables (TPU path)
     # compact-painter consumer remaps (resize-subgrid mask, TPU path)
     resize_pos_c: jnp.ndarray = None   # [oh*ow, 16] into compact space
     own_mask_c: jnp.ndarray = None     # [N, Pc] self-stamp mask
