@@ -78,18 +78,28 @@ def selfcheck(env, state) -> str:
             zero_p[0], zero_p[1], zero_p[2], zero_p[1], zero_p[2],
             zero_p[1], zero_p[2])
 
-    # robot raster: block one-hot MXU kernel vs XLA scatters
+    # robot raster: block one-hot MXU kernel vs XLA scatters.  The packed
+    # id field (bits 3..14) is an id-SUM in the kernel vs max-id in the
+    # scatters and is only decoded where robot_count == 1 (raster.py:211-216)
+    # — mask it at overlap cells (count >= 2), compare everything else raw.
     la_x = jax.jit(lambda: raster.build_layers(*args, robots_pallas=False))()
     la_p = jax.jit(lambda: raster.build_layers(*args, robots_pallas=True))()
-    if not bool(jnp.all(la_x.packed == la_p.packed)):
+    overlap = ((la_x.packed >> 1) & 3) >= 2
+    id_mask = jnp.where(overlap, ~(0xFFF << 3), -1)
+    if not bool(jnp.all((la_x.packed & id_mask) == (la_p.packed & id_mask))):
         raise AssertionError("selfcheck: pallas raster != XLA scatters")
 
-    # FOV fill: sorted-window one-hot matmul kernel vs XLA gather
+    # FOV fill: sorted-window one-hot matmul kernel vs XLA gather.  The
+    # kernel returns GATED occupancy with a zeroed ungated suffix
+    # (pallas_fill.fill_sorted_pallas docstring); every consumer
+    # (raycast/shadow/plain) reads occupancy through the gates, so compare
+    # through them too.
+    gates = jnp.asarray(ps.gates_sorted, dtype=bool)
     occ_x = jax.jit(lambda: polar.fill_sorted(
         ps, la_x.packed, st.resolution, poses, t=t))()
     occ_p = jax.jit(lambda: pallas_fill.fill_sorted_pallas(
         ps, la_x.packed, st.resolution, poses, t=t))()
-    if not bool(jnp.all(occ_x == occ_p)):
+    if not bool(jnp.all((occ_x & gates) == (occ_p & gates))):
         raise AssertionError("selfcheck: pallas fill != XLA gather fill")
 
     # exact painter: active Pallas kernel vs XLA dense decode

@@ -92,10 +92,12 @@ class PaintTStatics(NamedTuple):
                     hi = int(reg.rbase[b] + rows.max())
                     w_need = hi - rb + 1
                     if w_need > WIDE_W:
-                        # dense per-slot rows over ALL beams
+                        # dense per-slot rows over ALL beams (reg.W may be
+                        # lane-padded past R — those columns are always 0)
                         dense = np.zeros((G8, R), np.int16)
                         lo_r = int(reg.rbase[b])
-                        dense[:, lo_r:lo_r + reg.W] = sub.T
+                        hi_r = min(lo_r + reg.W, R)
+                        dense[:, lo_r:hi_r] = sub.T[:, :hi_r - lo_r]
                         ex_wide_slots.append(
                             np.arange(slot0, slot0 + G8, dtype=np.int32))
                         ex_wide_rows.append(dense)

@@ -73,6 +73,29 @@ def test_paint_t_exwide_fallback(rng, statics, monkeypatch):
     assert np.array_equal(got, want)
 
 
+def test_paint_t_exwide_padded_region(rng):
+    """Regression: at full-circle FOV with R=320 beams, near-sensor regions
+    get lane-padded windows (reg.W = 384 > R) AND groups spanning > WIDE_W
+    beams — the ex-wide dense build must clip reg.W to R (it crashed with
+    'could not broadcast (8,1024) into (8,960)' at the production shape)."""
+    vp = ViewParams(
+        hpx=64, wpx=64, resolution=RES, half=1.6,
+        angle_begin=-3.14159, angle_end=3.14159,
+        min_dist=0.0, max_dist=10.0, range_total=320, use_laser=True,
+    )
+    ps = polar.PolarStatics.build(vp, n_chunks=8)
+    pst = PainterStatics.build(ps)
+    assert any(r.W > vp.range_total for r in pst.regions), (
+        "shape no longer exercises the padded-region case")
+    kst = PaintTStatics.build(pst)      # crashed before the clip fix
+    assert kst.wide_slots.size > 0
+    s_hit, s_tail = _thresholds(rng, ps, pst, 0)
+    want = np.asarray(paint_sorted(pst, s_hit, s_tail))
+    got = np.asarray(paint_sorted_pallas_t(kst, s_hit, s_tail,
+                                           interpret=True))
+    assert np.array_equal(got, want)
+
+
 def test_paint_t_entry_count_shrinks(statics):
     """The 8-slot group windows must not exceed the 64-slot block windows'
     entry count (the whole point of the transposed layout)."""
