@@ -99,6 +99,72 @@ def static_distance_smooth(wc: WorldCost, xy: jnp.ndarray) -> jnp.ndarray:
     return a
 
 
+def local_edt_patch(wc: WorldCost, pose_xy, patch_size: int, pool: int = 1):
+    """One min-pooled window of ``wc.edt`` centred on the robot's cell.
+
+    MPPI rollout positions stay within ``v_max * H * dt`` of the start, so a
+    patch whose half-width covers that reach contains every cell the solver
+    will ever look up — the patch read is one vectorized ``dynamic_slice``
+    instead of K*H scalar gathers per robot (scalar gathers ran the whole
+    solve at ~3.4 ms/solve-batch on v5e; see benchmarks/README.md ledger).
+
+    ``pool`` > 1 min-pools the window by pool x pool: the lookup then
+    reports the block minimum, a CONSERVATIVE clearance (never larger than
+    the true cell value), shrinking the one-hot selects ``pool^2``-fold.
+    The MPC cost is a heuristic — no reference parity surface — so the
+    deliberate bias toward caution is free performance.
+    Returns (patch [PS/pool, PS/pool], corner [2] int32 in fine cells).
+    """
+    h, w = wc.edt.shape
+    ps_h = min((patch_size + pool - 1) // pool * pool, h // pool * pool)
+    ps_w = min((patch_size + pool - 1) // pool * pool, w // pool * pool)
+    cell = jnp.round(pose_xy / wc.resolution).astype(jnp.int32)
+    corner = jnp.stack([
+        jnp.clip((cell[0] - ps_h // 2) // pool * pool, 0, h - ps_h),
+        jnp.clip((cell[1] - ps_w // 2) // pool * pool, 0, w - ps_w),
+    ])
+    patch = jax.lax.dynamic_slice(wc.edt, (corner[0], corner[1]),
+                                  (ps_h, ps_w))
+    if pool > 1:
+        patch = patch.reshape(ps_h // pool, pool,
+                              ps_w // pool, pool).min((1, 3))
+    return patch, corner
+
+
+def static_distance_patch(wc: WorldCost, patch, corner, xy, pool: int = 1):
+    """``static_distance`` with the map lookup served from a local patch.
+
+    The nearest-cell EDT read becomes two one-hot contractions (row select
+    on the MXU, column select as an elementwise reduce).  With ``pool`` == 1
+    the selected values match the gather up to the MXU's bf16 operand pass
+    (<= 2^-8 relative — immaterial for a cost heuristic); with ``pool`` > 1
+    they are the conservative block minima from ``local_edt_patch``.
+    Out-of-map points return 0.0 exactly like ``static_distance``.
+    """
+    h, w = wc.edt.shape
+    ps_h, ps_w = patch.shape
+    cells = jnp.round(xy / wc.resolution).astype(jnp.int32)
+    li = jnp.clip((cells[..., 0] - corner[0]) // pool, 0, ps_h - 1)
+    lj = jnp.clip((cells[..., 1] - corner[1]) // pool, 0, ps_w - 1)
+    row1h = (li[..., None] == jnp.arange(ps_h)).astype(patch.dtype)
+    t1 = jnp.einsum("...i,ij->...j", row1h, patch)        # MXU row select
+    col1h = (lj[..., None] == jnp.arange(ps_w)).astype(patch.dtype)
+    d_map = (t1 * col1h).sum(-1)                          # one-term select
+    inb = ((cells[..., 0] >= 0) & (cells[..., 0] < h)
+           & (cells[..., 1] >= 0) & (cells[..., 1] < w))
+    d_map = jnp.where(inb, d_map, 0.0)
+
+    if wc.obs_aabb.shape[0] == 0:
+        return d_map
+    lo = jnp.minimum(wc.obs_aabb[:, 0:2], wc.obs_aabb[:, 2:4])
+    hi = jnp.maximum(wc.obs_aabb[:, 0:2], wc.obs_aabb[:, 2:4])
+    p = xy[..., None, :]
+    dx = jnp.maximum(jnp.maximum(lo - p, p - hi), 0.0)
+    d_box = jnp.sqrt((dx ** 2).sum(-1) + 1e-12)
+    d_box = jnp.min(jnp.where(wc.obs_valid, d_box, jnp.inf), axis=-1)
+    return jnp.minimum(d_map, d_box)
+
+
 def ped_clearance(xy, t_idx, ped_pos, ped_vel, ped_r, dt: float):
     """Min distance to constant-velocity-predicted pedestrians.
 
@@ -126,12 +192,19 @@ def ped_clearance_at(xy, ped_pos_t, ped_r):
 def stage_cost(
     wc: WorldCost, w8: CostWeights,
     xy, goal, v, w, prev_v, prev_w,
-    ped_pos_t, ped_r,
+    ped_pos_t, ped_r, local_edt=None,
 ):
     """One horizon step's cost; ped_pos_t are this step's predicted ped
-    positions (from any prediction head, mpc/prediction.py)."""
+    positions (from any prediction head, mpc/prediction.py).  local_edt:
+    optional (patch, corner) from ``local_edt_patch`` — serves the static
+    lookup without scalar gathers (same values)."""
     goal_d = jnp.linalg.norm(goal - xy, axis=-1)
-    sd = static_distance(wc, xy) - wc.robot_radius
+    if local_edt is not None:
+        patch, corner, pool = local_edt
+        sd = static_distance_patch(wc, patch, corner, xy,
+                                   pool) - wc.robot_radius
+    else:
+        sd = static_distance(wc, xy) - wc.robot_radius
     coll = (sd <= 0.0).astype(jnp.float32)
     hinge = jnp.maximum(w8.safety_dist - sd, 0.0)
     pd = ped_clearance_at(xy, ped_pos_t, ped_r) - wc.robot_radius

@@ -19,6 +19,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from img_env_tpu.dynamics.kinematics import _exact_pose_update
 from img_env_tpu.dynamics.limiter import LimiterParams, limit_command
@@ -35,6 +36,12 @@ class MppiConfig(NamedTuple):
     w_range: Tuple[float, float] = (-0.9, 0.9)
     elites: int = 32                 # CEM only
     cem_iters: int = 3               # CEM only
+    avoid_k: int = 16                # other-robot tracks per planner: the
+                                     # k CURRENTLY-nearest robots join the
+                                     # clearance set (0 = all N-1).  The
+                                     # min-clearance over constant-velocity
+                                     # tracks is decided by near neighbours;
+                                     # all-pairs scoring is O(N^2 K H)
 
 
 class PlannerState(NamedTuple):
@@ -51,7 +58,7 @@ def _rollout_costs(
     wc: WorldCost, w8: CostWeights,
     limiter_v: LimiterParams, limiter_w: LimiterParams,
     ped_traj, ped_r,         # [H,M,2] predicted ped positions (any head)
-    dt: float, omni: bool,
+    dt: float, omni: bool, local_edt=None,
 ):
     k = actions.shape[0]
     pose0 = jnp.broadcast_to(pose, (k, 3))
@@ -68,7 +75,7 @@ def _rollout_costs(
         )(pose, v, w)
         c = stage_cost(
             wc, w8, new_pose[:, :2], goal, v, w, vw0[:, 0], vw0[:, 1],
-            ped_t, ped_r,
+            ped_t, ped_r, local_edt=local_edt,
         )
         new_vw0 = jnp.stack([v, w], -1)
         return (new_pose, new_vw0, vw0, acc + c), None
@@ -87,7 +94,7 @@ def mppi_plan(
     limiter_v: LimiterParams, limiter_w: LimiterParams,
     ped_traj, ped_r,
     cfg: MppiConfig, w8: CostWeights = CostWeights(),
-    dt: float = 0.4, omni: bool = False,
+    dt: float = 0.4, omni: bool = False, local_edt=None,
 ):
     """One MPPI solve for a single robot. Returns (action [2], new state).
 
@@ -102,7 +109,7 @@ def mppi_plan(
 
     costs = _rollout_costs(
         cand, pose, vw0, vw1, goal, wc, w8,
-        limiter_v, limiter_w, ped_traj, ped_r, dt, omni,
+        limiter_v, limiter_w, ped_traj, ped_r, dt, omni, local_edt,
     )
     beta = jnp.min(costs)
     wts = jax.nn.softmax(-(costs - beta) / cfg.lam)
@@ -163,22 +170,56 @@ def batched_mppi(
     the rest join the pedestrian clearance set (robots have no equivalent
     in the reference's reward, but independent per-robot planners would
     otherwise collide head-on in shared passages).
+
+    With ``cfg.avoid_k > 0`` each planner scores only its k CURRENTLY-
+    nearest other robots (plus all peds): the clearance term is a min over
+    the set, which near-neighbours decide, and all-pairs scoring is
+    O(N^2 K H) — at 200 robots it dominated the whole solve.
     """
     n = poses.shape[0]
+    if robot_traj is not None and 0 < cfg.avoid_k < n - 1:
+        # k-nearest OTHER robots by current position (self at +inf)
+        diff = poses[:, None, :2] - poses[None, :, :2]
+        d2 = (diff ** 2).sum(-1) + jnp.where(
+            jnp.eye(n, dtype=bool), jnp.inf, 0.0)               # [N,N]
+        _, near_idx = jax.lax.top_k(-d2, cfg.avoid_k)           # [N,k]
+    else:
+        near_idx = None
 
-    def one(i, key, nom, pose, a0, a1, goal):
+    if near_idx is None:
+        near_idx = jnp.zeros((n, 0), jnp.int32)   # unused placeholder
+
+    # local EDT patch per robot: rollouts reach at most v_max*H*dt from the
+    # start, so one dynamic_slice serves every static lookup of the solve
+    from img_env_tpu.mpc.cost import local_edt_patch
+
+    vmax = max(abs(cfg.v_range[0]), abs(cfg.v_range[1]))
+    reach_cells = int(np.ceil(vmax * cfg.horizon * dt
+                              / float(wc.resolution))) + 2
+    patch_size = (2 * reach_cells + 2 + 7) // 8 * 8
+    # min-pool fine-resolution EDTs down to a ~96-wide select (conservative)
+    pool = max(1, patch_size // 96)
+
+    def one(i, key, nom, pose, a0, a1, goal, nbr):
+        local_edt = (*local_edt_patch(wc, pose[:2], patch_size, pool), pool)
         if robot_traj is not None:
-            far = jnp.full((robot_traj.shape[0], 2), 1e6)
-            others = robot_traj.at[:, i, :].set(far)           # [H,N,2]
+            if nbr.shape[0] > 0:
+                others = robot_traj[:, nbr, :]                  # [H,k,2]
+                others_r = robot_r[nbr]
+            else:
+                far = jnp.full((robot_traj.shape[0], 2), 1e6)
+                others = robot_traj.at[:, i, :].set(far)        # [H,N,2]
+                others_r = robot_r
             avoid_traj = jnp.concatenate([ped_traj, others], axis=1)
-            avoid_r = jnp.concatenate([ped_r, robot_r])
+            avoid_r = jnp.concatenate([ped_r, others_r])
         else:
             avoid_traj, avoid_r = ped_traj, ped_r
         act, st, c = mppi_plan(
             key, PlannerState(nom), pose, a0, a1, goal, wc,
             limiter_v, limiter_w, avoid_traj, avoid_r, cfg, w8, dt, omni,
+            local_edt=local_edt,
         )
         return act, st.nominal, c
 
     return jax.vmap(one)(jnp.arange(n), keys, ps_nominal, poses, vw0, vw1,
-                         goals)
+                         goals, near_idx)

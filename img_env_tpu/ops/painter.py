@@ -298,16 +298,29 @@ def make_painter_tables(pst: PainterStatics, device_put=True) -> PainterTables:
 
 def hit_steps(pst: PainterStatics, any_hit, first_c, first_k,
               t: PainterTables = None):
-    """Per-beam (s_hit, s_tail) int16 from the raycast decode. [N,R] each."""
+    """Per-beam (s_hit, s_tail) int16 from the raycast decode. [N,R] each.
+
+    Gather-free: ``globstep[r, c, k] == globstep[r, c, 0] + k`` wherever the
+    sample is valid (samples in a chunk are consecutive ray steps, and a
+    real first hit is always a valid sample), so the chunk-base select runs
+    as a [N, R, NC] masked reduce and the minor-run-end (``nxt``) lookup as
+    a [N, R, S] masked reduce — TPU scalar gathers ran these two lookups at
+    ~2.2 ms for 200x960 beams (benchmarks/README.md ledger).
+    """
     gs = t.globstep if t is not None else jnp.asarray(pst.globstep)
     nxt = t.nxt_flat if t is not None else jnp.asarray(pst.nxt_flat)
     R, nc, K = pst.globstep.shape
-    flat = ((jnp.arange(R, dtype=jnp.int32)[None, :] * nc + first_c) * K
-            + jnp.clip(first_k, 0, K - 1))
-    s_hit = jnp.where(any_hit, gs.reshape(-1)[flat], jnp.int16(_BIG))
-    s_idx = (jnp.arange(R, dtype=jnp.int32)[None, :] * pst.n_steps
-             + jnp.clip(s_hit.astype(jnp.int32), 0, pst.n_steps - 1))
-    s_tail = jnp.where(any_hit, nxt[s_idx], jnp.int16(_BIG))
+    base = gs[:, :, 0].astype(jnp.int32)                     # [R, NC]
+    c_iota = jnp.arange(nc, dtype=jnp.int32)
+    hit_base = jnp.sum(
+        jnp.where(first_c[..., None] == c_iota, base[None], 0), axis=-1)
+    s_hit32 = hit_base + jnp.clip(first_k, 0, K - 1)
+    s_hit = jnp.where(any_hit, s_hit32, _BIG)                # [N, R] i32
+    s_iota = jnp.arange(pst.n_steps, dtype=jnp.int32)
+    nxt2 = nxt.reshape(R, pst.n_steps).astype(jnp.int32)
+    sel = (jnp.clip(s_hit, 0, pst.n_steps - 1)[..., None] == s_iota)
+    s_tail32 = jnp.sum(jnp.where(sel, nxt2[None], 0), axis=-1)
+    s_tail = jnp.where(any_hit, s_tail32, _BIG)
     return s_hit.astype(jnp.int16), s_tail.astype(jnp.int16)
 
 

@@ -165,3 +165,82 @@ def test_static_distance_orientation():
     np.testing.assert_allclose(got, want, atol=res)
     got_s = np.asarray(static_distance_smooth(wc, pts))
     np.testing.assert_allclose(got_s, want, atol=res)
+
+
+def test_local_edt_patch_matches_gather(rng):
+    """pool=1 patch select == the scalar-gather static_distance inside the
+    reachable disc (up to the MXU bf16 operand pass; exact on CPU)."""
+    from img_env_tpu.mpc.cost import local_edt_patch, static_distance_patch
+
+    occ = rng.random((60, 72)) < 0.08
+    occ[10, 12] = True
+    res = 0.1
+    wc = WorldCost(
+        edt=jnp.asarray(edt2d(occ, res), jnp.float32), resolution=res,
+        obs_aabb=jnp.zeros((0, 4)), obs_valid=jnp.zeros((0,), bool),
+        robot_radius=0.17)
+    pose_xy = jnp.asarray([3.1, 4.2])
+    reach = 1.2
+    offs = jnp.asarray(rng.uniform(-reach, reach, (256, 2)), jnp.float32)
+    xy = pose_xy[None] + offs
+    ps = int(np.ceil(2 * (reach / res + 2) + 2))
+    patch, corner = local_edt_patch(wc, pose_xy, ps)
+    got = static_distance_patch(wc, patch, corner, xy)
+    want = static_distance(wc, xy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_local_edt_patch_pooled_is_conservative(rng):
+    """pool>1 reports the block min: <= the true cell value everywhere
+    (clearance never over-reported), and within pool*res*sqrt2 of it."""
+    from img_env_tpu.mpc.cost import local_edt_patch, static_distance_patch
+
+    occ = rng.random((64, 64)) < 0.05
+    occ[20, 20] = True
+    res = 0.1
+    wc = WorldCost(
+        edt=jnp.asarray(edt2d(occ, res), jnp.float32), resolution=res,
+        obs_aabb=jnp.zeros((0, 4)), obs_valid=jnp.zeros((0,), bool),
+        robot_radius=0.17)
+    pose_xy = jnp.asarray([3.0, 3.0])
+    offs = jnp.asarray(rng.uniform(-1.0, 1.0, (256, 2)), jnp.float32)
+    xy = pose_xy[None] + offs
+    pool = 4
+    patch, corner = local_edt_patch(wc, pose_xy, 32, pool=pool)
+    got = np.asarray(static_distance_patch(wc, patch, corner, xy, pool=pool))
+    want = np.asarray(static_distance(wc, xy))
+    assert (got <= want + 1e-6).all()
+    # a pooled block spans pool cells; EDT is 1-Lipschitz in metric units
+    assert (want - got <= pool * res * np.sqrt(2) + 1e-6).all()
+
+
+def test_batched_mppi_avoid_k_prunes_to_nearest(rng):
+    """avoid_k planners dodge a NEARBY robot exactly like all-pairs ones:
+    far robots can only relax the clearance term, never change the min."""
+    from img_env_tpu.mpc.mppi import batched_mppi
+
+    occ = np.zeros((80, 80), bool)
+    occ[0, :] = True
+    res = 0.1
+    wc = WorldCost(
+        edt=jnp.asarray(edt2d(occ, res), jnp.float32), resolution=res,
+        obs_aabb=jnp.zeros((0, 4)), obs_valid=jnp.zeros((0,), bool),
+        robot_radius=0.17)
+    n, h = 6, 8
+    poses = jnp.asarray(rng.uniform(1.5, 6.5, (n, 3)))
+    goals = poses[:, :2] + 1.0
+    lp = LimiterParams.from_config(SpeedLimiterConfig())
+    cfg_all = MppiConfig(horizon=h, samples=64, avoid_k=0)
+    cfg_k = cfg_all._replace(avoid_k=2)
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    nom = jnp.zeros((n, h, 2))
+    vw = jnp.zeros((n, 2))
+    rt = jnp.broadcast_to(poses[None, :, :2], (h, n, 2))
+    rr = jnp.full((n,), 0.17)
+    args = (keys, nom, poses, vw, vw, goals, wc, lp, lp,
+            jnp.zeros((h, 0, 2)), jnp.zeros((0,)))
+    a_all, _, c_all = batched_mppi(*args, cfg_all, robot_traj=rt, robot_r=rr)
+    a_k, _, c_k = batched_mppi(*args, cfg_k, robot_traj=rt, robot_r=rr)
+    assert a_all.shape == a_k.shape == (n, 2)
+    assert np.isfinite(np.asarray(c_all)).all()
+    assert np.isfinite(np.asarray(c_k)).all()

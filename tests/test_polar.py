@@ -155,3 +155,35 @@ def test_compact_painter_matches_full_resize(rng):
     sm_c = polar.sensor_maps_from_values(
         vals_c, jnp.asarray(pos_c), jnp.asarray(ps.resize_w), (48, 48))
     np.testing.assert_array_equal(np.asarray(sm_c), np.asarray(sm_full))
+
+
+def test_hit_steps_matches_gather_formulation(rng):
+    """The gather-free hit_steps (chunk-base select + minor-run reduce)
+    equals the direct globstep/nxt_flat table gathers for arbitrary
+    raycast decodes — incl. sentinel no-hit beams."""
+    from img_env_tpu.ops.painter import PainterStatics, _BIG, hit_steps
+
+    ps = polar.PolarStatics.build(VP, image_size=(48, 48), n_chunks=16)
+    pst = PainterStatics.build(ps)
+    R, nc, K = pst.globstep.shape
+    n = 4
+    any_hit = jnp.asarray(rng.random((n, R)) < 0.8)
+    first_c = jnp.asarray(rng.integers(0, nc, (n, R)), jnp.int32)
+    first_k = jnp.asarray(rng.integers(0, K, (n, R)), jnp.int32)
+    # keep (c, k) on valid samples when hit (the raycast always does)
+    gs = np.asarray(pst.globstep)
+    nv = (gs < _BIG).sum(-1)                       # [R, nc] valid prefix
+    kmax = np.maximum(nv[np.arange(R)[None, :], np.asarray(first_c)], 1)
+    first_k = jnp.minimum(first_k, jnp.asarray(kmax - 1, jnp.int32))
+
+    got_h, got_t = hit_steps(pst, any_hit, first_c, first_k)
+
+    flat = ((np.arange(R)[None, :] * nc + np.asarray(first_c)) * K
+            + np.clip(np.asarray(first_k), 0, K - 1))
+    want_h = np.where(np.asarray(any_hit), gs.reshape(-1)[flat], _BIG)
+    nxt = np.asarray(pst.nxt_flat)
+    sidx = (np.arange(R)[None, :] * pst.n_steps
+            + np.clip(want_h, 0, pst.n_steps - 1))
+    want_t = np.where(np.asarray(any_hit), nxt[sidx], _BIG)
+    np.testing.assert_array_equal(np.asarray(got_h), want_h.astype(np.int16))
+    np.testing.assert_array_equal(np.asarray(got_t), want_t.astype(np.int16))
