@@ -25,7 +25,12 @@ def main():
     ap.add_argument("cfg", nargs="?", default="img_env_tpu/configs/test.yaml")
     ap.add_argument("--episodes", type=int, default=10)
     ap.add_argument("--max-steps", type=int, default=120)
-    ap.add_argument("--policy", choices=("random", "mpc"), default="mpc")
+    ap.add_argument("--policy", choices=("random", "mpc", "ckpt"),
+                    default="mpc")
+    ap.add_argument("--ckpt", default="",
+                    help="orbax checkpoint dir from train_ppo --save "
+                         "(used with --policy ckpt; deterministic mean "
+                         "actions; cfg must match the training config)")
     ap.add_argument("--bank", default="", help="ScenarioBank npz (shared across methods)")
     ap.add_argument("--record", default="", help="write episode npz here")
     ap.add_argument("--plots", default="", help="write trajectory/outcome PNGs here")
@@ -55,10 +60,36 @@ def main():
     n = env.robot_total
 
     ctl = None
+    policy_fn = None
     if args.policy == "mpc":
         from img_env_tpu.mpc import MpcController, MppiConfig
 
         ctl = MpcController(env.core, MppiConfig(horizon=8, samples=64))
+    elif args.policy == "ckpt":
+        import jax.numpy as jnp
+
+        from img_env_tpu.models.policy import PolicyConfig, init_policy
+        from img_env_tpu.train import checkpoint as ckpt_mod
+
+        pcfg = PolicyConfig.from_env_config(env.core.cfg)
+        _, params0 = init_policy(jax.random.PRNGKey(0), pcfg, batch=n)
+        restored = ckpt_mod.restore(args.ckpt, like={"params": params0})
+        params = restored["params"]
+        model, _ = init_policy(jax.random.PRNGKey(0), pcfg, batch=n)
+        use_ped = env.core.cfg.ped_sim.total > 0
+        ranges = env.core.cfg.continuous_actions
+        lo = jnp.asarray([r[0] for r in ranges])
+        hi = jnp.asarray([r[1] for r in ranges])
+
+        @jax.jit
+        def policy_fn(params, obs):
+            # deterministic eval: the Gaussian mean, clipped to the ranges
+            sm = obs.sensor_maps[:, None]
+            vs = obs.vector_states
+            pm = obs.ped_maps if use_ped else None
+            pv = obs.ped_vector_states if use_ped else None
+            mean, _, _ = model.apply(params, sm, vs, pm, pv)
+            return jnp.clip(mean, lo, hi)
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
@@ -71,6 +102,8 @@ def main():
                 key, k = jax.random.split(key)
                 actions, ms, _ = ctl.act(k, env._state, ms)
                 actions = np.asarray(actions)[:, :2]
+            elif policy_fn is not None:
+                actions = np.asarray(policy_fn(params, env.last_raw_obs))
             else:
                 actions = np.column_stack([
                     rng.uniform(0.0, 0.6, n), rng.uniform(-0.9, 0.9, n)])

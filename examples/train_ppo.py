@@ -35,8 +35,20 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--epochs", type=int, default=2,
+                    help="PPO passes over each rollout (2 is stable; 4 "
+                         "can collapse the tiny policy on easy configs)")
+    ap.add_argument("--minibatches", type=int, default=2)
+    ap.add_argument("--reward-scale", type=float, default=1.0,
+                    help="scale rewards entering GAE (paper rewards span "
+                         "+-500; 0.02 keeps the value loss in range)")
+    ap.add_argument("--sigma0", type=float, default=-0.5,
+                    help="initial log-std of the Gaussian policy head")
     ap.add_argument("--curve", default=None,
                     help="write PREFIX.csv + PREFIX.png learning curves")
+    ap.add_argument("--save", default=None,
+                    help="orbax checkpoint dir for the trained params "
+                         "(evaluate.py --policy ckpt --ckpt DIR)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -77,12 +89,18 @@ def main():
     n_dev = len(jax.devices())
     mesh = make_mesh(scene=n_dev, model=1)
     env = BatchedNavEnv(cfg, mesh=mesh, jit=False)
-    pcfg = PolicyConfig.from_env_config(cfg)
+    import dataclasses as _dc
+
+    pcfg = _dc.replace(PolicyConfig.from_env_config(cfg),
+                       log_std_init=args.sigma0)
     model, params = init_policy(jax.random.PRNGKey(args.seed), pcfg, batch=2)
     params = jax.device_put(params, tp_param_shardings(params, mesh))
 
     init_fn, train_step = make_train_step(
-        env, model, PpoConfig(unroll=args.unroll, lr=args.lr))
+        env, model, PpoConfig(unroll=args.unroll, lr=args.lr,
+                              epochs=args.epochs,
+                              minibatches=args.minibatches,
+                              reward_scale=args.reward_scale))
     ts = init_fn(params)
     step = jax.jit(train_step)
 
@@ -119,6 +137,11 @@ def main():
     print(f"reward first-{k} mean {h[:k, 1].mean():.3f} -> "
           f"last-{k} mean {h[-k:, 1].mean():.3f}; "
           f"arrive {h[:k, 2].mean():.2f} -> {h[-k:, 2].mean():.2f}")
+    if args.save:
+        from img_env_tpu.train import checkpoint as ckpt_mod
+
+        ckpt_mod.save(args.save, {"params": jax.device_get(ts.params)})
+        print(f"saved params checkpoint to {args.save}")
     if args.curve:
         np.savetxt(
             args.curve + ".csv", h, delimiter=",", comments="",

@@ -148,6 +148,7 @@ class ImgNavEnv:
             else:
                 key = self._next_key()
         self._state, obs = self.core.reset(key, carry)
+        self.last_raw_obs = obs   # unfiltered Observation (policy consumers)
         if self._ws is None:
             self._ws = self.stack.init_state()
         self._ws, sobs = self.stack.on_reset(self._ws, obs)
@@ -168,6 +169,7 @@ class ImgNavEnv:
                 )
             speeds = cmds[:, :2]
         self._state, obs, reward, done, info = self.core.step(self._state, cmds)
+        self.last_raw_obs = obs   # unfiltered Observation (policy consumers)
         info = dict(info)
         info["speeds"] = speeds
         self._ws, sobs, reward, done, info = self.stack.on_step(

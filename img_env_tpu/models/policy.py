@@ -50,6 +50,7 @@ class PolicyConfig:
     discrete_actions: int = 0    # >0 -> categorical head of this many actions
     hidden: int = 256
     crowd_dim: int = 64
+    log_std_init: float = -0.5   # initial Gaussian exploration (continuous)
     dtype: Any = jnp.float32
 
     @staticmethod
@@ -158,7 +159,8 @@ class CrowdNavPolicy(nn.Module):
             return logits.astype(jnp.float32), value.astype(jnp.float32)
         mean = nn.Dense(c.act_dim, dtype=dt, name="pi_mean")(x)
         log_std = self.param(
-            "pi_log_std", nn.initializers.constant(-0.5), (c.act_dim,))
+            "pi_log_std", nn.initializers.constant(c.log_std_init),
+            (c.act_dim,))
         log_std = jnp.broadcast_to(log_std, mean.shape)
         return (mean.astype(jnp.float32), log_std.astype(jnp.float32),
                 value.astype(jnp.float32))

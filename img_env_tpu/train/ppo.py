@@ -34,6 +34,10 @@ class PpoConfig(NamedTuple):
     minibatches: int = 4        # shuffled minibatches per epoch
     max_grad_norm: float = 0.5  # global-norm gradient clip
     reward: str = "paper"       # 'paper' (SensorsPaperReward) | 'base'
+    reward_scale: float = 1.0   # scales rewards entering GAE/returns only
+                                #   (paper rewards span +-500; the value
+                                #   loss otherwise dwarfs the policy loss).
+                                #   Reported reward_mean stays UNscaled.
     autoreset: bool = True      # NeverStop: re-draw finished scenes between
                                 #   rollouts (all robots down or time_max)
 
@@ -95,8 +99,15 @@ def make_train_step(
             feats = obs_features(obs, use_ped)
             dist = _dist(params, feats)
             k_act, _ = jax.random.split(key)
-            act, logp, value = sample_action(k_act, dist, ranges)
-            act_sn = act.reshape(-1, n_rob, act.shape[-1])
+            # store the RAW Gaussian sample for the loss: clipping only the
+            # env command keeps logp_old consistent with the logp the
+            # minibatch loss recomputes (clip-then-logp biases the ratio
+            # and lets the mean run away through the clip)
+            act, logp, value = sample_action(k_act, dist, None)
+            lo = jnp.asarray([r[0] for r in ranges])
+            hi = jnp.asarray([r[1] for r in ranges])
+            act_env = jnp.clip(act, lo, hi)
+            act_sn = act_env.reshape(-1, n_rob, act_env.shape[-1])
             actions = jnp.concatenate(
                 [act_sn, jnp.zeros(act_sn.shape[:-1] + (1,))], -1)
             states, nobs, reward, done, info = env.step_fn(states, actions)
@@ -187,7 +198,7 @@ def make_train_step(
         feats, act, logp_old, value_old, reward, done = traj
         feats_last = obs_features(obs, use_ped)
         last_value = _dist(ts.params, feats_last)[-1]
-        advs = gae(value_old, reward, done, last_value)
+        advs = gae(value_old, reward * cfg.reward_scale, done, last_value)
         returns = advs + value_old
 
         # flatten [T, B, ...] -> [T*B, ...]

@@ -95,3 +95,36 @@ def test_reward_improves_on_empty_map():
     early = np.mean(rewards[:8])
     late = np.mean(rewards[-8:])
     assert late > early, f"no improvement: early {early:.1f} late {late:.1f}"
+
+
+def test_checkpoint_roundtrip_deterministic_eval(tmp_path):
+    """train_ppo --save / evaluate --policy ckpt contract: params survive an
+    orbax round-trip and the deterministic mean policy emits in-range
+    actions on raw observations."""
+    from img_env_tpu.train import checkpoint as ckpt_mod
+
+    ts, states, obs, step = _setup(scenes=2, unroll=4)
+    ts, states, obs, _ = step(ts, states, obs, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ck")
+    ckpt_mod.save(path, {"params": jax.device_get(ts.params)})
+
+    cfg = _easy_cfg(2)
+    from img_env_tpu.models.policy import PolicyConfig, init_policy
+
+    pcfg = PolicyConfig.from_env_config(cfg)
+    _, params0 = init_policy(jax.random.PRNGKey(0), pcfg, batch=1)
+    restored = ckpt_mod.restore(path, like={"params": params0})
+    model, _ = init_policy(jax.random.PRNGKey(0), pcfg, batch=1)
+
+    sm = obs.sensor_maps.reshape(-1, 1, *obs.sensor_maps.shape[-2:])
+    vs = obs.vector_states.reshape(sm.shape[0], -1)
+    mean, log_std, value = model.apply(restored["params"], sm, vs, None, None)
+    ranges = cfg.continuous_actions
+    act = np.clip(np.asarray(mean),
+                  [r[0] for r in ranges], [r[1] for r in ranges])
+    assert np.isfinite(act).all()
+    assert act.shape == (sm.shape[0], 2)
+    # round-trip really restored the trained params, not the init
+    leaves_a = jax.tree_util.tree_leaves(restored["params"])
+    leaves_b = jax.tree_util.tree_leaves(ts.params)
+    assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
