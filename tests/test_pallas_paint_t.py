@@ -8,6 +8,7 @@ real chip; these tests cover the kernel logic (group windows, width
 buckets, class-major reorder, ex-wide fallback) on CPU.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -103,3 +104,4 @@ def test_paint_t_entry_count_shrinks(statics):
     e_block = sum(r.nb * r.W * 64 for r in pst.regions)
     e_group = sum(c.ta.shape[0] * pt_mod.G8 * c.w for c in kst.classes)
     assert e_group <= e_block
+
