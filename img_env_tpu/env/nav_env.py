@@ -257,7 +257,20 @@ class NavEnv:
 
     def __init__(self, cfg: EnvConfig, jit: bool = True):
         self.cfg = cfg
-        self.statics = build_statics(cfg)
+        # opt-in warm start: statics are a pure function of (cfg, map,
+        # package source) — serving fleets set IMG_ENV_TPU_STATICS_CACHE
+        # to skip the ~5 s host-side table build (utils/statics_cache.py)
+        from img_env_tpu.utils import statics_cache as _scache
+
+        self._cache_key = (
+            _scache.cache_key(cfg, cfg.resolve_map_path())
+            if _scache.cache_dir() else None)
+        self.statics = (_scache.load("st-" + self._cache_key)
+                        if self._cache_key else None)
+        if self.statics is None:
+            self.statics = build_statics(cfg)
+            if self._cache_key:
+                _scache.save("st-" + self._cache_key, self.statics)
         self.scene_type = cfg.ped_sim.type if cfg.ped_sim.total > 0 else "none"
         # Device tables are jit ARGUMENTS: the polar incidence matrices are
         # hundreds of MB and must not be baked into the HLO as constants.
@@ -291,9 +304,16 @@ class NavEnv:
                 # gen-2 transposed kernel: robots in lanes, 8-slot group
                 # windows (3.3x fewer window entries at production shape)
                 from img_env_tpu.ops import pallas_paint_t
+                from img_env_tpu.utils import statics_cache as _scache
 
-                self.paint_kst = pallas_paint_t.PaintTStatics.build(
-                    self.paint_pst)
+                self.paint_kst = (_scache.load("kst-" + self._cache_key)
+                                  if self._cache_key else None)
+                if self.paint_kst is None:
+                    self.paint_kst = pallas_paint_t.PaintTStatics.build(
+                        self.paint_pst)
+                    if self._cache_key:
+                        _scache.save("kst-" + self._cache_key,
+                                     self.paint_kst)
                 self.sensor_tables = self.sensor_tables._replace(
                     painter=self.sensor_tables.painter._replace(
                         kernel_t=pallas_paint_t.make_paint_t_tables(

@@ -154,3 +154,37 @@ def test_ervo_beep_evacuation_end_to_end():
     d_after = np.linalg.norm(
         np.asarray(state.peds.pos) - np.asarray([5.0, 5.0]), axis=-1)
     assert (d_after > d_before + 0.1).all()
+
+
+def test_statics_cache_roundtrip(tmp_path, monkeypatch):
+    """IMG_ENV_TPU_STATICS_CACHE warm start returns bit-identical statics
+    (same config + map + package source -> same key -> same tables)."""
+    import numpy as np
+
+    from img_env_tpu.config import EnvConfig
+    from img_env_tpu.env.nav_env import NavEnv
+
+    monkeypatch.setenv("IMG_ENV_TPU_STATICS_CACHE", str(tmp_path))
+    cfg = EnvConfig.from_dict({
+        "robot": {"total": 2,
+                  "begin_poses_type": ["range"],
+                  "begin_poses": [[1.0, 9.0, 1.0, 9.0]],
+                  "target_poses_type": ["range"],
+                  "target_poses": [[1.0, 9.0, 1.0, 9.0]]},
+        "ped_sim": {"total": 0},
+        "global_map": {"map_file": "room_10.png", "resolution": 0.1},
+        "view_map": {"resolution": 0.05, "width": 3.0, "height": 3.0},
+        "range_total": 32,
+    })
+    cold = NavEnv(cfg, jit=False)
+    assert any(f.startswith("statics-st-") for f in tmp_path.iterdir()
+               for f in [f.name]), "cache entry not written"
+    warm = NavEnv(cfg, jit=False)
+    import jax
+
+    for x, y in zip(jax.tree_util.tree_leaves(cold.statics),
+                    jax.tree_util.tree_leaves(warm.statics)):
+        if hasattr(x, "shape"):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        else:
+            assert x == y
