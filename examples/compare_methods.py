@@ -71,26 +71,9 @@ def main():
 
             ctl = MpcController(env.core, MppiConfig(horizon=8, samples=64))
         elif method == "ckpt":
-            import jax.numpy as jnp
+            from img_env_tpu.models.policy import load_ckpt_policy
 
-            from img_env_tpu.models.policy import PolicyConfig, init_policy
-            from img_env_tpu.train import checkpoint as ckpt_mod
-
-            pcfg = PolicyConfig.from_env_config(env.core.cfg)
-            model, params0 = init_policy(jax.random.PRNGKey(0), pcfg, batch=n)
-            params = ckpt_mod.restore(args.ckpt, like={"params": params0})["params"]
-            use_ped = env.core.cfg.ped_sim.total > 0
-            ranges = env.core.cfg.continuous_actions
-            lo = jnp.asarray([r[0] for r in ranges])
-            hi = jnp.asarray([r[1] for r in ranges])
-
-            @jax.jit
-            def policy_fn(params, obs):
-                sm = obs.sensor_maps[:, None]
-                pm = obs.ped_maps if use_ped else None
-                pv = obs.ped_vector_states if use_ped else None
-                mean, _, _ = model.apply(params, sm, obs.vector_states, pm, pv)
-                return jnp.clip(mean, lo, hi)
+            policy_fn, params = load_ckpt_policy(env.core.cfg, args.ckpt, n)
         elif method != "random":
             sys.exit(f"unknown method {method!r}")
 

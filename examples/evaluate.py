@@ -66,30 +66,9 @@ def main():
 
         ctl = MpcController(env.core, MppiConfig(horizon=8, samples=64))
     elif args.policy == "ckpt":
-        import jax.numpy as jnp
+        from img_env_tpu.models.policy import load_ckpt_policy
 
-        from img_env_tpu.models.policy import PolicyConfig, init_policy
-        from img_env_tpu.train import checkpoint as ckpt_mod
-
-        pcfg = PolicyConfig.from_env_config(env.core.cfg)
-        _, params0 = init_policy(jax.random.PRNGKey(0), pcfg, batch=n)
-        restored = ckpt_mod.restore(args.ckpt, like={"params": params0})
-        params = restored["params"]
-        model, _ = init_policy(jax.random.PRNGKey(0), pcfg, batch=n)
-        use_ped = env.core.cfg.ped_sim.total > 0
-        ranges = env.core.cfg.continuous_actions
-        lo = jnp.asarray([r[0] for r in ranges])
-        hi = jnp.asarray([r[1] for r in ranges])
-
-        @jax.jit
-        def policy_fn(params, obs):
-            # deterministic eval: the Gaussian mean, clipped to the ranges
-            sm = obs.sensor_maps[:, None]
-            vs = obs.vector_states
-            pm = obs.ped_maps if use_ped else None
-            pv = obs.ped_vector_states if use_ped else None
-            mean, _, _ = model.apply(params, sm, vs, pm, pv)
-            return jnp.clip(mean, lo, hi)
+        policy_fn, params = load_ckpt_policy(env.core.cfg, args.ckpt, n)
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)

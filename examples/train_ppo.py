@@ -114,9 +114,12 @@ def main():
         for u in range(args.updates):
             key, k = jax.random.split(key)
             ts, states, obs, metrics = step(ts, states, obs, k)
-            history.append((u + 1, float(metrics["reward_mean"]),
-                            float(metrics["arrive_rate"]),
-                            float(metrics["collision_rate"])))
+            # keep device scalars; fetching every update would barrier the
+            # dispatch pipeline (floats are pulled at the periodic print
+            # and when the curve is written)
+            history.append((u + 1, metrics["reward_mean"],
+                            metrics["arrive_rate"],
+                            metrics["collision_rate"]))
             if (u + 1) % 5 == 0 or u == 0:
                 # fetching the metrics forces the update (the TPU tunnel
                 # defers otherwise); rate is per window, excluding compile
@@ -132,7 +135,7 @@ def main():
                       f"entropy {float(metrics['entropy']):6.3f}  "
                       f"{sps:8.0f} robot-steps/s")
 
-    h = np.asarray(history)
+    h = np.asarray([[float(np.asarray(v)) for v in row] for row in history])
     k = max(len(h) // 5, 1)
     print(f"reward first-{k} mean {h[:k, 1].mean():.3f} -> "
           f"last-{k} mean {h[-k:, 1].mean():.3f}; "

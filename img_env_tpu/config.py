@@ -256,7 +256,11 @@ class EnvConfig:
                                       #   (transposed robots-in-lanes kernel,
                                       #   ops/pallas_paint_t.py) | 'block'
                                       #   (gen-1 64-slot-block kernel) | 'xla'
-    max_obs_segments: int = 16        # ORCA obstacle segments per agent
+    max_obs_segments: int = 32        # ORCA obstacle segments per agent
+                                      #   (kd-tree SPLITTING can ~double the
+                                      #   per-agent segment count; 32 keeps
+                                      #   the nearest-K filter non-binding
+                                      #   on the test layouts)
     reset_trials: int = 64            # bounded rejection-sampling trials
     reset_redraws: int = 10           # whole-scenario re-draws when a sample
                                       #   reports ok=False (reference re-rolls

@@ -61,7 +61,7 @@ class OrcaConfig(NamedTuple):
     time_horizon_obst: float = 5.0
     radius: float = 0.5
     time_step: float = 0.4
-    max_obs_segments: int = 16
+    max_obs_segments: int = 32   # splitting ~doubles segment counts
 
 
 class Segments(NamedTuple):

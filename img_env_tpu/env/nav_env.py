@@ -274,7 +274,14 @@ class NavEnv:
         self.scene_type = cfg.ped_sim.type if cfg.ped_sim.total > 0 else "none"
         # Device tables are jit ARGUMENTS: the polar incidence matrices are
         # hundreds of MB and must not be baked into the HLO as constants.
-        if cfg.sensor_mode != "reference":
+        # They travel on the accelerated paths only (CPU keeps the
+        # jnp.asarray fallbacks — also the x64 parity reference — unless
+        # fill_mode='pallas' forces the kernel path there).
+        keep_tables = (cfg.sensor_mode != "reference"
+                       and cfg.fill_mode != "gather"
+                       and (cfg.fill_mode == "pallas"
+                            or jax.default_backend() != "cpu"))
+        if keep_tables:
             tables = polar_mod.make_tables(self.statics.polar)
             # per-robot static self-stamp mask: the runtime stamp becomes
             # one elementwise select instead of a scalar-rate scatter
@@ -285,20 +292,21 @@ class NavEnv:
                         self.statics.own_slots_ok))),
                 painter=(painter_mod.make_painter_tables(self.statics.painter)
                          if self.statics.painter is not None else None))
+        else:
+            self.sensor_tables = None
         # painter backend: the Pallas kernel replaces the XLA dense decode
         # on TPU (tables stay VMEM-resident per robot-chunk); CPU keeps the
-        # XLA path (also the x64 parity reference).  Painting only the
-        # resize subgrid was MEASURED SLOWER (compacted slots make block
-        # beam-windows balloon: 23k slots but 9.7M window entries vs 5.4M
-        # full) — keep the full-view paint.
+        # XLA path (also the x64 parity reference); paint_mode='xla' keeps
+        # the device tables but decodes with painter.paint_sorted.  Painting
+        # only the resize subgrid was MEASURED SLOWER (compacted slots make
+        # block beam-windows balloon: 23k slots but 9.7M window entries vs
+        # 5.4M full) — keep the full-view paint.
         self.paint_ks = None
         self.paint_pst = None
         self.paint_kst = None
         if (self.statics.painter is not None
-                and cfg.fill_mode != "gather"
-                and cfg.paint_mode != "xla"
-                and (cfg.fill_mode == "pallas"
-                     or jax.default_backend() != "cpu")):
+                and keep_tables
+                and cfg.paint_mode != "xla"):
             self.paint_pst = self.statics.painter
             if cfg.paint_mode in ("auto", "t"):
                 # gen-2 transposed kernel: robots in lanes, 8-slot group
@@ -326,8 +334,6 @@ class NavEnv:
                 self.sensor_tables = self.sensor_tables._replace(
                     painter=self.sensor_tables.painter._replace(
                         kernel=pallas_paint.make_paint_tables(self.paint_ks)))
-        else:
-            self.sensor_tables = None
         # FOV-fill backend: the Pallas matmul kernel replaces XLA's scalar
         # gather (~570 ms -> MXU work at 200 robots); 'auto' keeps the plain
         # gather on CPU where the x64 parity tests run.

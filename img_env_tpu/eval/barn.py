@@ -93,7 +93,10 @@ def run_barn_suite(
             w.writeheader()
             w.writerows(rows)
     if output_txt and ep_lines:
+        # overwrite like the csv: re-running the suite must not mix runs
+        # (the reference's BarnDataSetWrapper appends because each world is
+        # a separate process; here one call covers the whole suite)
         os.makedirs(os.path.dirname(os.path.abspath(output_txt)), exist_ok=True)
-        with open(output_txt, "a") as f:
+        with open(output_txt, "w") as f:
             f.write("\n".join(ep_lines) + "\n")
     return rows

@@ -204,3 +204,35 @@ def sample_action(key, dist, continuous_ranges=None):
     act = jax.random.categorical(key, logits)
     logp = jax.nn.log_softmax(logits)[jnp.arange(logits.shape[0]), act]
     return act, logp, value
+
+
+def load_ckpt_policy(env_cfg, ckpt_dir: str, batch: int):
+    """Deterministic-eval policy from a ``train_ppo --save`` checkpoint.
+
+    Returns ``(policy_fn, params)`` where ``policy_fn(params, obs)`` maps a
+    raw ``Observation`` (core/state.py) to clipped mean actions [N, act_dim]
+    — the shared loader behind ``evaluate.py --policy ckpt`` and
+    ``compare_methods.py``.  ``env_cfg`` must match the training config
+    (the orbax restore is shape-checked against a fresh init).
+    """
+    import jax
+
+    from img_env_tpu.train import checkpoint as ckpt_mod
+
+    pcfg = PolicyConfig.from_env_config(env_cfg)
+    model, params0 = init_policy(jax.random.PRNGKey(0), pcfg, batch=batch)
+    params = ckpt_mod.restore(ckpt_dir, like={"params": params0})["params"]
+    use_ped = env_cfg.ped_sim.total > 0
+    ranges = env_cfg.continuous_actions
+    lo = jnp.asarray([r[0] for r in ranges])
+    hi = jnp.asarray([r[1] for r in ranges])
+
+    @jax.jit
+    def policy_fn(params, obs):
+        sm = obs.sensor_maps[:, None]
+        pm = obs.ped_maps if use_ped else None
+        pv = obs.ped_vector_states if use_ped else None
+        mean, _, _ = model.apply(params, sm, obs.vector_states, pm, pv)
+        return jnp.clip(mean, lo, hi)
+
+    return policy_fn, params
