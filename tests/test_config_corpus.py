@@ -76,3 +76,28 @@ def test_corpus_multi_regions_build():
     assert spec.begin_params.shape[1] == 5
     assert int(spec.begin_nreg[5]) == 5 and int(spec.begin_nreg[6]) == 5
     assert int(spec.begin_nreg[0]) == 1
+
+
+def test_shipped_configs_build_envs():
+    """Every yaml shipped under img_env_tpu/configs constructs a NavEnv and
+    resets one episode (guards the package's own examples/docs configs the
+    reference-corpus sweep does not cover)."""
+    import glob
+    import os
+
+    import jax
+
+    from img_env_tpu.config import EnvConfig
+    from img_env_tpu.env.nav_env import NavEnv
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "img_env_tpu", "configs")
+    files = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(files) >= 8
+    for f in files:
+        cfg = EnvConfig.from_yaml(f)
+        if cfg.robot.total * max(cfg.ped_sim.total, 1) > 64:
+            continue   # bench-scale configs are covered by bench/test_bench
+        env = NavEnv(cfg, jit=False)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs.sensor_maps.shape[0] == cfg.robot.total, f
