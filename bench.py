@@ -126,6 +126,25 @@ def selfcheck(env, state) -> str:
         if mism:
             raise AssertionError(
                 f"selfcheck: pallas painter != XLA decode ({mism} px)")
+
+    # ped-map kernel: sequential-overwrite kernel vs the XLA sorted decode
+    # at the crowd scale (N = M = 200)
+    from img_env_tpu.env import observe as observe_mod
+    from img_env_tpu.ops.pallas_pedmap import ped_map_pallas
+
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    ped_pos = jax.random.uniform(k1, (200, 2), minval=0.5, maxval=15.5)
+    ped_vel = jax.random.uniform(k2, (200, 2), minval=-0.6, maxval=0.6)
+    px, py, vxp, vyp = observe_mod.peds_in_base(poses, ped_pos, ped_vel)
+    pm_k = jax.jit(lambda a, b, c, d: ped_map_pallas(
+        a, b, c, d, res=6.0 / 48, ped_image_r=0.25,
+        image_size=48))(px, py, vxp, vyp)
+    pm_x = jax.jit(lambda p: observe_mod.ped_vectors_and_map(
+        p, ped_pos, ped_vel, jnp.full((200,), 0.1), jnp.full((200,), 0.17),
+        10, 7, 48, 0.25)[1])(poses)
+    if not bool(jnp.all(pm_k == pm_x)):
+        raise AssertionError("selfcheck: pallas ped map != XLA decode")
     return "ok"
 
 
@@ -282,8 +301,13 @@ def main() -> None:
                 actions, mpc_state, costs = ctl_p.act_fn(
                     k_plan, state, mpc_state)
                 state, obs, *_ = env_p.step_fn(state, actions, tables)
+                # the checksum consumes EVERY crowd observation surface —
+                # incl. the 3-channel ped maps (drawn by the
+                # ops/pallas_pedmap.py kernel) so nothing is dead-code
+                # eliminated out of the timed step
                 chk = (obs.sensor_maps.sum() + obs.lasers.sum()
-                       + obs.ped_vector_states.sum())
+                       + obs.ped_vector_states.sum() + obs.ped_maps.sum()
+                       + obs.ped_min_dists.sum())
                 return k_next, state, mpc_state, chk
 
             tp = env_p.sensor_tables

@@ -349,6 +349,9 @@ class NavEnv:
                                   self.statics.resolution)
         self.raster_pallas = bool(
             self.fill_pallas and cfg.robot.total > 0 and span <= 30)
+        # ped-map backend: the sequential-overwrite kernel needs no sort
+        # and no [N,M,H,W] cover decode (ops/pallas_pedmap.py)
+        self.pedmap_pallas = bool(self.fill_pallas and cfg.ped_sim.total > 0)
 
         self._reset = jax.jit(self.reset_fn) if jit else self.reset_fn
         self._step = jax.jit(self.step_fn) if jit else self.step_fn
@@ -806,6 +809,7 @@ class NavEnv:
                 jnp.asarray(st.ped_r), jnp.asarray(st.robot_radius),
                 int(cfg.max_ped), int(cfg.ped_vec_dim),
                 int(cfg.ped_image_size[0]), float(cfg.ped_image_r),
+                map_backend="pallas" if self.pedmap_pallas else "xla",
             )
         else:
             ped_vec = jnp.zeros((n, 1 + cfg.ped_vec_dim * cfg.max_ped))
