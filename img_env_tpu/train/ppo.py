@@ -75,7 +75,9 @@ def make_train_step(
         optax.adam(cfg.lr),
     )
     use_ped = env.cfg.ped_sim.total > 0
-    ranges = env.cfg.continuous_actions
+    # configs may carry a third (v_y / omni) range; the Gaussian head emits
+    # act_dim values, so clip only those
+    ranges = env.cfg.continuous_actions[: env.cfg.act_dim]
     n_rob = env.cfg.robot.total
 
     def init_fn(params) -> TrainState:
