@@ -223,7 +223,7 @@ def load_ckpt_policy(env_cfg, ckpt_dir: str, batch: int):
     model, params0 = init_policy(jax.random.PRNGKey(0), pcfg, batch=batch)
     params = ckpt_mod.restore(ckpt_dir, like={"params": params0})["params"]
     use_ped = env_cfg.ped_sim.total > 0
-    ranges = env_cfg.continuous_actions
+    ranges = env_cfg.continuous_actions[: env_cfg.act_dim]
     lo = jnp.asarray([r[0] for r in ranges])
     hi = jnp.asarray([r[1] for r in ranges])
 
