@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--save", default=None,
                     help="orbax checkpoint dir for the trained params "
                          "(evaluate.py --policy ckpt --ckpt DIR)")
+    ap.add_argument("--restore", default=None,
+                    help="warm-start params from a checkpoint dir — chain "
+                         "invocations over configs for staged curricula "
+                         "(the reference's stage_train workflow)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -94,6 +98,11 @@ def main():
     pcfg = _dc.replace(PolicyConfig.from_env_config(cfg),
                        log_std_init=args.sigma0)
     model, params = init_policy(jax.random.PRNGKey(args.seed), pcfg, batch=2)
+    if args.restore:
+        from img_env_tpu.train import checkpoint as ckpt_mod
+
+        params = ckpt_mod.restore(args.restore, like={"params": params})["params"]
+        print(f"warm-started params from {args.restore}")
     params = jax.device_put(params, tp_param_shardings(params, mesh))
 
     init_fn, train_step = make_train_step(
