@@ -329,9 +329,10 @@ def main() -> None:
         except Exception as e:
             print(f"# crowd-mode/{mode} failed: {e}", file=sys.stderr)
 
-    # secondary: multi-scene batch on one chip — S scenes x 50 robots
-    # stepped as ONE vmapped program (the reference fans out one ROS node
-    # per scene, create_launch.py:25-34; here scenes share the chip)
+    # secondary: multi-scene batch on one chip — S scenes x 50 robots as
+    # ONE program with the FLAT sensor pipeline (scene raster vmapped, all
+    # S*N robots share one polar/painter pass; the reference fans out one
+    # ROS node per scene, create_launch.py:25-34)
     try:
         S_SCENES, N_SC_ROB = 4, 50
         from img_env_tpu.config import EnvConfig

@@ -45,6 +45,9 @@ class ExternalSimTransport:
     pause: Callable[[], None] = lambda: None
     unpause: Callable[[], None] = lambda: None
     get_peds: Optional[Callable[[], Sequence[TrackedPed]]] = None
+    # camera / laser-image sample -> sensor_maps (gazebo_env.py:258
+    # image_last); None -> synthesized from the scan (HardwareEnv.sensor_map)
+    get_image: Optional[Callable[[], "np.ndarray"]] = None
 
 
 class ExternalSimEnv(HardwareEnv):
@@ -72,6 +75,8 @@ class ExternalSimEnv(HardwareEnv):
         self.feed_pose(float(x), float(y), float(yaw))
         if t.get_peds is not None:
             self.feed_peds(t.get_peds())
+        if t.get_image is not None:
+            self.feed_image(t.get_image())
         self.set_goal(self.target_pose[0], self.target_pose[1])
 
     def _is_done(self, obs) -> int:

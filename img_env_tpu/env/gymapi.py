@@ -45,7 +45,10 @@ class _FlatBatchedCore:
 
     def reset(self, key, carry=None):
         keys = jax.random.split(key, self._s)
-        state, obs = self._env.reset(keys)
+        # carry threads through exactly like the single-scene path
+        # (nav_env.reset_state_fn: vw_last1 / gait phase persist across
+        # auto-resets)
+        state, obs = self._env.reset(keys, carry)
         return state, self._flat(obs)
 
     def step(self, state, cmds):
@@ -236,9 +239,23 @@ class WrappedFrontend:
         min_d = float(pv[0, 7] - pv[0, 6]) if pv[0, 0] > 0 else float("inf")
         di = int(np.asarray(dones_info).reshape(-1)[0])
         h, w = self.cfg.image_size
+        # sensor_maps: the frontend's image when provided (image_last,
+        # real_env.py:139 / gazebo_env.py:258), else synthesized from the
+        # scan (the reference's _trans_lidar_log_map alternative) — image
+        # policy checkpoints deploy through this facade either way.
+        if "sensor_maps" in d:
+            sm = jnp.asarray(d["sensor_maps"], jnp.float32).reshape(1, h, w)
+        elif "lasers" in d:
+            from img_env_tpu.utils.lidar import trans_lidar_log_map
+
+            scan = np.asarray(d["lasers"], np.float32).reshape(-1)
+            sm = jnp.asarray(trans_lidar_log_map(scan, length=h),
+                             jnp.float32).reshape(1, h, w)
+        else:
+            sm = jnp.zeros((1, h, w), jnp.float32)
         return Observation(
             vector_states=vec,
-            sensor_maps=jnp.zeros((1, h, w), jnp.float32),
+            sensor_maps=sm,
             is_collisions=jnp.asarray(
                 [1 if di in (1, 2, 3) else 0], jnp.int32),
             is_arrives=jnp.asarray([1 if di == 5 else 0], jnp.int32),

@@ -58,6 +58,7 @@ class HardwareEnv:
         self.robot_radius = float(cfg.robot_radius)
         self.control_hz = float(cfg.control_hz)
         self._scan: Optional[ScanSample] = None
+        self._image: Optional[np.ndarray] = None
         self._peds: List[TrackedPed] = []
         self._base_tf = np.eye(3)        # world->base SE(2)
         self._goal_world = np.zeros(2)
@@ -66,6 +67,14 @@ class HardwareEnv:
     # -- host feeds --------------------------------------------------------
     def feed_scan(self, scan: ScanSample) -> None:
         self._scan = scan
+
+    def feed_image(self, image: np.ndarray) -> None:
+        """Camera / laser-image sample for the ``sensor_maps`` surface —
+        the reference's ``laser_image`` topic feeding ``image_last``
+        (real_env.py:139, 233-240; gazebo_env.py:258).  Expected
+        [image_size] floats in [0, 1]; without a fed image ``observe``
+        synthesizes the map from the scan instead."""
+        self._image = np.asarray(image, np.float32)
 
     def feed_peds(self, peds: Sequence[TrackedPed]) -> None:
         self._peds = list(peds)
@@ -155,10 +164,31 @@ class HardwareEnv:
         vec = self.state_goal()[: self.cfg.state_dim]
         return {
             "vector_states": vec[None],
+            "sensor_maps": self.sensor_map(scan)[None],
             "lasers": lasers[None],
             "ped_vector_states": ped_vec[None],
             "ped_maps": ped_map[None],
         }
+
+    def sensor_map(self, scan: np.ndarray) -> np.ndarray:
+        """[h, w] image surface: the fed camera/laser image when present
+        (``image_last``, real_env.py:139), else the scan's log-polar
+        occupancy map (the reference's documented alternative,
+        real_env.py:141 / _trans_lidar_log_map) — so an image policy
+        checkpoint runs through the hardware facade either way."""
+        h, w = self.cfg.image_size
+        if self._image is not None:
+            img = self._image
+            if img.shape[-2:] != (h, w):
+                ri = (np.arange(h) * img.shape[-2] // h)
+                ci = (np.arange(w) * img.shape[-1] // w)
+                img = img[..., ri[:, None], ci[None, :]]
+            return np.asarray(img, np.float32).reshape(h, w)
+        from img_env_tpu.utils.lidar import trans_lidar_log_map
+
+        return np.asarray(
+            trans_lidar_log_map(np.asarray(scan, np.float32), length=h),
+            np.float32)
 
     def step(self, action):
         v, w = float(action[0]), float(action[1])

@@ -366,6 +366,12 @@ class NavEnv:
         ped initial pose/velocity then come from frame 0.
         sensor_tables: device tables (polar.make_tables) — pass through jit
         so the big static matrices stay runtime arguments."""
+        state = self.reset_state_fn(key, carry, dataset)
+        return self._observe(state, sensor_tables)
+
+    def reset_state_fn(self, key, carry: Optional[WorldState] = None,
+                       dataset=None) -> WorldState:
+        """Scenario sampling + map/EDT build, WITHOUT the sensor pass."""
         st = self.statics
         cfg = self.cfg
         n, m = cfg.robot.total, cfg.ped_sim.total
@@ -504,14 +510,35 @@ class NavEnv:
             prev_goal_dist=jnp.zeros((n,)),
             has_prev_dist=jnp.asarray(False),
         )
-        state, obs = self._observe(state, sensor_tables)
-        return state, obs
+        return state
 
     # ------------------------------------------------------------------
     # step
     # ------------------------------------------------------------------
     def step_fn(self, state: WorldState, actions, sensor_tables=None):
         """actions: [N,3] (v, w, v_y/beep)."""
+        new_state, alive, beeps = self.advance_fn(state, actions)
+        new_state, obs = self._observe(new_state, sensor_tables)
+        return self._finish_step(new_state, obs, alive, beeps)
+
+    def _finish_step(self, new_state, obs, alive, beeps):
+        reward = rewards.base_reward(obs.is_collisions, obs.is_arrives)
+        done = rewards.compute_dones(obs.is_collisions, obs.is_arrives)
+        info = {
+            "dones_info": jnp.zeros(obs.is_collisions.shape, jnp.int32),
+            "beeps": beeps,
+            "alive": alive,
+        }
+        return new_state, obs, reward, done, info
+
+    def advance_fn(self, state: WorldState, actions):
+        """Pre-observation step: crowd + robot dynamics + bookkeeping.
+
+        Returns (state-before-observe, alive mask, beeps).  step_fn is
+        advance_fn + _observe; the multi-scene batched env vmaps this part
+        per scene but runs the sensor pipeline flat over all S*N robots
+        (parallel/batched_env.py).
+        """
         st = self.statics
         cfg = self.cfg
         n, m = cfg.robot.total, cfg.ped_sim.total
@@ -554,16 +581,7 @@ class NavEnv:
             prev_goal_dist=state.prev_goal_dist,
             has_prev_dist=state.has_prev_dist,
         )
-        new_state, obs = self._observe(new_state, sensor_tables)
-
-        reward = rewards.base_reward(obs.is_collisions, obs.is_arrives)
-        done = rewards.compute_dones(obs.is_collisions, obs.is_arrives)
-        info = {
-            "dones_info": jnp.zeros((n,), jnp.int32),
-            "beeps": beeps,
-            "alive": alive,
-        }
-        return new_state, obs, reward, done, info
+        return new_state, alive, beeps
 
     # ------------------------------------------------------------------
     def _crowd_step(self, state: WorldState, v_y, key):
@@ -701,6 +719,195 @@ class NavEnv:
         return state.peds.sfm_lastdest  # head travels in the lastdest slot
 
     # ------------------------------------------------------------------
+    def _sensor_pass(self, packed, poses, sensor_tables=None):
+        """The matmul sensor pipeline, FLAT over robots.
+
+        packed: id-packed map [H, W] or scene-batched [S, H, W]; poses:
+        [B, 3] scene-major flat (B = S * robots-per-scene).  Returns
+        (sensor_maps [B, h, w], hits [B, R], angular [B, 72]).
+
+        Keeping all S scenes' robots in one flat axis is the multi-scene
+        throughput fix: the polar incidence / resize matmuls stream their
+        static tables ONCE for all scenes (vmap re-streamed them per
+        scene), and the painter kernel pads to 128 robot lanes once
+        instead of per scene.
+        """
+        st = self.statics
+        cfg = self.cfg
+        ps = st.polar
+        vp = st.view_params
+        t = sensor_tables  # device tables as jit args (never baked)
+        b = poses.shape[0]
+        multi = packed.ndim == 3
+        nps = b // packed.shape[0] if multi else b
+
+        if self.fill_pallas:
+            from img_env_tpu.ops.pallas_fill import fill_sorted_pallas
+
+            occ = fill_sorted_pallas(ps, packed, st.resolution, poses, t=t)
+        elif multi:
+            occ = jax.vmap(
+                lambda pm, p: polar_mod.fill_sorted(
+                    ps, pm, st.resolution, p, t=t)
+            )(packed, poses.reshape(-1, nps, 3))
+            occ = occ.reshape(b, -1)
+        else:
+            occ = polar_mod.fill_sorted(ps, packed, st.resolution, poses, t=t)
+
+        if vp.use_laser:
+            hits, angular, aux = polar_mod.raycast_batched(
+                ps, occ, t=t, return_aux=True)
+            # exact per-ray painter decode (agent.cpp:511-624): the laser
+            # view map is an all-200 canvas painted by the beams in index
+            # order — bit-identical to the sequential trace
+            pt = t.painter if t is not None else None
+            s_hit, s_tail = painter_mod.hit_steps(st.painter, *aux, t=pt)
+            if self.paint_kst is not None:
+                from img_env_tpu.ops import pallas_paint_t
+
+                vals = pallas_paint_t.paint_sorted_pallas_t(
+                    self.paint_kst, s_hit, s_tail,
+                    tables=pt.kernel_t if pt is not None else None)
+            elif self.paint_ks is not None:
+                from img_env_tpu.ops import pallas_paint
+
+                vals = pallas_paint.paint_sorted_pallas(
+                    self.paint_pst, self.paint_ks, s_hit, s_tail,
+                    tables=pt.kernel if pt is not None else None)
+            else:
+                vals = painter_mod.paint_sorted(
+                    st.painter, s_hit, s_tail, t=pt)
+        else:
+            hits = jnp.full((b, vp.range_total), 6.0)
+            angular = jnp.full((b, 72), vp.max_dist)
+            inside = polar_mod.inside_sorted(
+                ps, packed.shape[-2:], st.resolution, poses, t=t)
+            vals = polar_mod.plain_values_sorted(ps, occ, inside, t=t)
+
+        # own-footprint stamp: per-robot static masks tile over scenes
+        own_mask = (t.own_mask if t is not None and t.own_mask is not None
+                    else None)
+        if own_mask is not None:
+            if multi:
+                vals = polar_mod.stamp_self_mask(
+                    vals.reshape(-1, nps, vals.shape[-1]), own_mask[None]
+                ).reshape(b, -1)
+            else:
+                vals = polar_mod.stamp_self_mask(vals, own_mask)
+        else:
+            slots = jnp.asarray(st.own_slots)
+            ok = jnp.asarray(st.own_slots_ok)
+            if multi:
+                vals = jax.vmap(
+                    lambda v: polar_mod.stamp_self_sorted(ps, v, slots, ok)
+                )(vals.reshape(-1, nps, vals.shape[-1])).reshape(b, -1)
+            else:
+                vals = polar_mod.stamp_self_sorted(ps, vals, slots, ok)
+        sensor_maps = polar_mod.sensor_maps_from_sorted(
+            ps, vals, tuple(cfg.image_size), t=t)
+        return sensor_maps, hits, angular
+
+    # ------------------------------------------------------------------
+    def _observe_multi(self, state: WorldState, sensor_tables=None
+                       ) -> Tuple[WorldState, Observation]:
+        """Scene-batched observation: every ``state`` leaf has a leading
+        [S] axis.  Per-scene work (raster compositing, collision codes,
+        ped maps) is vmapped; the sensor pipeline runs flat over S*N
+        robots (see _sensor_pass).  Bit-identical to vmapping _observe
+        (tests/test_multiscene_flat.py)."""
+        st = self.statics
+        cfg = self.cfg
+        n, m = cfg.robot.total, cfg.ped_sim.total
+        s = state.obs_map.shape[0]
+        b = s * n
+
+        def scene_layers(obs_map, rob_pose, peds, prev_coll, arrive):
+            if m:
+                ped_pose3 = jnp.concatenate(
+                    [peds.pos, peds.yaw[:, None]], axis=-1)
+                left_pts = (jnp.asarray(st.ped_left_points)
+                            + peds.leg_offset[:, 0:1, :])
+                right_pts = (jnp.asarray(st.ped_right_points)
+                             + peds.leg_offset[:, 1:2, :])
+                left_mask = jnp.asarray(st.ped_left_mask)
+                right_mask = jnp.asarray(st.ped_right_mask)
+                body_pts = jnp.asarray(st.ped_body_points)
+                body_mask = jnp.asarray(st.ped_body_mask)
+            else:
+                ped_pose3 = jnp.zeros((0, 3))
+                left_pts = right_pts = body_pts = jnp.zeros((0, 1, 2))
+                left_mask = right_mask = body_mask = jnp.zeros((0, 1), bool)
+            layers = raster.build_layers(
+                obs_map, st.resolution,
+                rob_pose, jnp.asarray(st.robot_points),
+                jnp.asarray(st.robot_mask),
+                ped_pose3, body_pts, body_mask,
+                left_pts, left_mask, right_pts, right_mask,
+                robots_pallas=self.raster_pallas,
+            )
+            coll = raster.collision_codes(layers, prev_coll, arrive)
+            return layers.packed, coll
+
+        packed, collision = jax.vmap(scene_layers)(
+            state.obs_map, state.robots.pose, state.peds,
+            state.robots.collision, state.robots.arrive)
+
+        poses_flat = state.robots.pose.reshape(b, 3)
+        sensor_maps, hits, angular = self._sensor_pass(
+            packed, poses_flat, sensor_tables)
+
+        vec = observe.vector_state(
+            poses_flat, state.robots.goal.reshape(b, 2),
+            state.robots.goal_yaw.reshape(b),
+            state.robots.vw_last0.reshape(b, 2), int(cfg.state_dim),
+        )
+        if m:
+            ped_vec, ped_map, ped_min = jax.vmap(
+                lambda rp, pp, pv: observe.ped_vectors_and_map(
+                    rp, pp, pv,
+                    jnp.asarray(st.ped_r), jnp.asarray(st.robot_radius),
+                    int(cfg.max_ped), int(cfg.ped_vec_dim),
+                    int(cfg.ped_image_size[0]), float(cfg.ped_image_r),
+                    map_backend="pallas" if self.pedmap_pallas else "xla",
+                )
+            )(state.robots.pose, state.peds.pos, state.peds.vel)
+        else:
+            ped_vec = jnp.zeros((s, n, 1 + cfg.ped_vec_dim * cfg.max_ped))
+            ped_map = jnp.zeros(
+                (s, n, 3, cfg.ped_image_size[0], cfg.ped_image_size[1]))
+            ped_min = jnp.full((s, n), jnp.inf)
+
+        dist = observe.goal_distances(vec).reshape(s, n)
+        step_ds = jnp.where(
+            state.has_prev_dist[:, None], state.prev_goal_dist - dist, 0.0)
+        lasers = observe.norm_lasers(
+            hits, float(cfg.laser_max), cfg.laser_norm)
+        beam_ang = jnp.asarray(st.view_statics.laser.angles)
+        hit_points = hits[..., None] * jnp.stack(
+            [jnp.cos(beam_ang), jnp.sin(beam_ang)], -1)[None]
+
+        sh = lambda x: x.reshape((s, n) + x.shape[1:])
+        obs = Observation(
+            vector_states=sh(vec),
+            sensor_maps=sh(sensor_maps),
+            is_collisions=collision,
+            is_arrives=state.robots.arrive.astype(jnp.int32),
+            lasers=sh(lasers),
+            ped_vector_states=ped_vec,
+            ped_maps=ped_map,
+            step_ds=step_ds,
+            ped_min_dists=ped_min,
+            angular_maps=sh(angular),
+            hit_points=sh(hit_points),
+        )
+        new_state = state._replace(
+            robots=state.robots._replace(collision=collision),
+            prev_goal_dist=dist,
+            has_prev_dist=jnp.ones((s,), bool),
+        )
+        return new_state, obs
+
+    # ------------------------------------------------------------------
     def _observe(self, state: WorldState, sensor_tables=None) -> Tuple[WorldState, Observation]:
         st = self.statics
         cfg = self.cfg
@@ -744,60 +951,8 @@ class NavEnv:
             )
             sensor_maps = sensor_map_from_view(views, tuple(cfg.image_size))
         else:
-            # matmul pipeline (ops/polar.py): one fill + MXU raycast/shadow
-            ps = st.polar
-            t = sensor_tables  # device tables as jit args (never baked)
-            if self.fill_pallas:
-                from img_env_tpu.ops.pallas_fill import fill_sorted_pallas
-
-                occ = fill_sorted_pallas(
-                    ps, layers.packed, st.resolution, state.robots.pose, t=t,
-                )
-            else:
-                occ = polar_mod.fill_sorted(
-                    ps, layers.packed, st.resolution, state.robots.pose, t=t,
-                )
-            if vp.use_laser:
-                hits, angular, aux = polar_mod.raycast_batched(
-                    ps, occ, t=t, return_aux=True)
-                # exact per-ray painter decode (agent.cpp:511-624): the
-                # laser view map is an all-200 canvas painted by the beams
-                # in index order — bit-identical to the sequential trace
-                pt = t.painter if t is not None else None
-                s_hit, s_tail = painter_mod.hit_steps(
-                    st.painter, *aux, t=pt)
-                if self.paint_kst is not None:
-                    from img_env_tpu.ops import pallas_paint_t
-
-                    vals = pallas_paint_t.paint_sorted_pallas_t(
-                        self.paint_kst, s_hit, s_tail,
-                        tables=pt.kernel_t if pt is not None else None)
-                elif self.paint_ks is not None:
-                    from img_env_tpu.ops import pallas_paint
-
-                    vals = pallas_paint.paint_sorted_pallas(
-                        self.paint_pst, self.paint_ks, s_hit, s_tail,
-                        tables=pt.kernel if pt is not None else None)
-                else:
-                    vals = painter_mod.paint_sorted(
-                        st.painter, s_hit, s_tail, t=pt)
-            else:
-                hits = jnp.full((n, vp.range_total), 6.0)
-                angular = jnp.full((n, 72), vp.max_dist)
-                inside = polar_mod.inside_sorted(
-                    ps, layers.packed.shape, st.resolution,
-                    state.robots.pose, t=t)
-                vals = polar_mod.plain_values_sorted(ps, occ, inside, t=t)
-            if t is not None and t.own_mask is not None:
-                vals = polar_mod.stamp_self_mask(vals, t.own_mask)
-            else:
-                vals = polar_mod.stamp_self_sorted(
-                    ps, vals, jnp.asarray(st.own_slots),
-                    jnp.asarray(st.own_slots_ok),
-                )
-            sensor_maps = polar_mod.sensor_maps_from_sorted(
-                ps, vals, tuple(cfg.image_size), t=t
-            )
+            sensor_maps, hits, angular = self._sensor_pass(
+                layers.packed, state.robots.pose, sensor_tables)
 
         vec = observe.vector_state(
             state.robots.pose, state.robots.goal, state.robots.goal_yaw,

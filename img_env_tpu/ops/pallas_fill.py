@@ -66,7 +66,7 @@ WIN_PER_STEP = 8   # fill windows per grid step (8-sublane-aligned blocks)
 def _fill_kernel(pose_ref, pixx_ref, pixy_ref, map_ref, out_ref,
                  occ_ref, *,
                  res: float, h: int, w: int, fw: int, bm: int, bn: int,
-                 n_copies: int):
+                 n_copies: int, nps: int):
     r = pl.program_id(0)
     c = pose_ref[r * 4 + 0]
     s = pose_ref[r * 4 + 1]
@@ -79,10 +79,12 @@ def _fill_kernel(pose_ref, pixx_ref, pixy_ref, map_ref, out_ref,
     # not me.  The map travels as int16 (id <= 4095) to halve VMEM.
     # Copy cp holds the decode shifted LEFT by shift*cp lanes, so block
     # corners only need 32-lane alignment when n_copies == 4.
+    # Multi-scene: the map BlockSpec selects scene r // nps; robot ids in
+    # the packed map are per-scene, so self-exclusion compares r % nps + 1.
     @pl.when(pl.program_id(1) == 0)
     def _decode():
-        v = map_ref[:, :].astype(jnp.int32)
-        rid = r + 1
+        v = map_ref[0, :, :].astype(jnp.int32)
+        rid = r % nps + 1
         occ = ((v & 1) > 0) | (((v >> 1) & 3) >= 2) | \
               ((((v >> 1) & 3) == 1) & ((v >> 3) != rid))
         occ8 = occ.astype(jnp.int8)
@@ -156,21 +158,27 @@ def _fill_kernel(pose_ref, pixx_ref, pixy_ref, map_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("res", "fw", "bm", "bn",
-                                             "n_copies", "interpret"))
+                                             "n_copies", "nps", "interpret"))
 def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, *,
                        res: float, fw: int, bm: int, bn: int,
-                       n_copies: int = 1, interpret: bool = False):
+                       n_copies: int = 1, nps: int = 0,
+                       interpret: bool = False):
     """[N, len(pix_x)] 0/1 occupancy (self excluded) at the given pixels.
 
-    packed_map_i16: [H, W] int16 id-packed map (prepare_map: H multiple of
-    8, W multiple of 128, H >= bm, W >= bn).  poses: [N, 3].  pix_x/pix_y:
-    [n_fill] f32 base-frame pixel coords — the GATED slot prefix of the
-    (gated, chunk, angle) sorted layout, connected arcs padded to ``fw``
-    slots (PolarStatics.build fill_window).  Out-of-map and dead-padding
-    pixels are garbage — callers apply the inside mask.
+    packed_map_i16: [S, H, W] int16 id-packed map(s) (prepare_map: H
+    multiple of 8, W multiple of 128, H >= bm, W >= bn).  poses: [N, 3] —
+    scene-major when S > 1; robot i reads map i // nps (``nps`` robots per
+    scene, default all of them).  pix_x/pix_y: [n_fill] f32 base-frame
+    pixel coords — the GATED slot prefix of the (gated, chunk, angle)
+    sorted layout, connected arcs padded to ``fw`` slots
+    (PolarStatics.build fill_window).  Out-of-map and dead-padding pixels
+    are garbage — callers apply the inside mask.
     """
-    h, w = packed_map_i16.shape
+    if packed_map_i16.ndim == 2:
+        packed_map_i16 = packed_map_i16[None]
+    _, h, w = packed_map_i16.shape
     n = poses.shape[0]
+    nps = nps or n
     p0 = pix_x.shape[0]
     pad = (-p0) % (fw * WIN_PER_STEP)
     if pad:
@@ -186,7 +194,7 @@ def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, *,
     pixy2 = pix_y.reshape(windows, fw).astype(jnp.float32)
 
     kern = functools.partial(_fill_kernel, res=res, h=h, w=w, fw=fw,
-                             bm=bm, bn=bn, n_copies=n_copies)
+                             bm=bm, bn=bn, n_copies=n_copies, nps=nps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n, steps),
@@ -195,7 +203,7 @@ def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((WIN_PER_STEP, fw), lambda i, j, *_: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, w), lambda i, j, *_: (0, 0),
+            pl.BlockSpec((1, h, w), lambda i, j, *_: (i // nps, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((WIN_PER_STEP, fw),
@@ -213,16 +221,19 @@ def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, *,
 
 
 def prepare_map(packed_map_i32, bm: int, bn: int) -> jnp.ndarray:
-    """Pad the id-packed map to kernel-friendly int16 [H8 >= bm, W128 >= bn].
+    """Pad the id-packed map(s) to kernel-friendly int16 [H8 >= bm, W128 >= bn].
 
-    Only the fill-relevant low 15 bits (occupancy, count, id) survive the
-    int16 narrowing; the collision-category bits 15..17 are masked off.
+    Accepts [H, W] or a scene-batched [S, H, W].  Only the fill-relevant
+    low 15 bits (occupancy, count, id) survive the int16 narrowing; the
+    collision-category bits 15..17 are masked off.
     """
-    h, w = packed_map_i32.shape
+    h, w = packed_map_i32.shape[-2:]
+    lead = packed_map_i32.shape[:-2]
     h2 = max((h + 7) // 8 * 8, bm)
     w2 = max((w + 127) // 128 * 128, bn)
-    out = jnp.zeros((h2, w2), jnp.int16)
-    return out.at[:h, :w].set((packed_map_i32 & 0x7FFF).astype(jnp.int16))
+    out = jnp.zeros(lead + (h2, w2), jnp.int16)
+    return out.at[..., :h, :w].set(
+        (packed_map_i32 & 0x7FFF).astype(jnp.int16))
 
 
 def fill_sorted_pallas(ps, packed_map, resolution, poses, t=None,
@@ -233,12 +244,17 @@ def fill_sorted_pallas(ps, packed_map, resolution, poses, t=None,
     ``polar.fill_sorted(...) & ps.gates_sorted`` up to f32-vs-f64 coordinate
     rounding at cell borders.  Every consumer (raycast/shadow/plain) reads
     occupancy through the gates, so the gating is free information.
+
+    Multi-scene: packed_map may be [S, H, W] with poses [S*N, 3] flat in
+    scene-major order — robot i reads map i // (N per scene); this keeps
+    all S scenes in ONE kernel grid (no per-scene robot-chunk padding).
     """
     from img_env_tpu.ops.raster import round_half_away
 
-    h, w = packed_map.shape
+    h, w = packed_map.shape[-2:]
     n = poses.shape[0]
-    if n >= 4096:
+    nps = n // packed_map.shape[0] if packed_map.ndim == 3 else n
+    if nps >= 4096:
         raise ValueError("id-packed int16 map supports at most 4095 robots")
     bm, bn, n_copies = _block_dims(ps, float(resolution))
     bx = (t.pix_x if t is not None else jnp.asarray(ps.pix_x_sorted)).astype(jnp.float32)
@@ -248,7 +264,7 @@ def fill_sorted_pallas(ps, packed_map, resolution, poses, t=None,
     occ = fill_values_pallas(big, poses.astype(jnp.float32),
                              bx[:nf], by[:nf],
                              res=float(resolution), fw=int(ps.fill_window),
-                             bm=bm, bn=bn, n_copies=n_copies,
+                             bm=bm, bn=bn, n_copies=n_copies, nps=nps,
                              interpret=interpret)
 
     def inside_mask(pose):

@@ -28,23 +28,54 @@ class BatchedNavEnv:
     step(states, actions [S,N,3]) -> (states, obs, reward [S,N], done, info)
     """
 
-    def __init__(self, cfg: EnvConfig, mesh: Optional[Mesh] = None, jit: bool = True):
+    def __init__(self, cfg: EnvConfig, mesh: Optional[Mesh] = None,
+                 jit: bool = True, legacy_vmap: bool = False):
         self.cfg = cfg
         self.mesh = mesh
         self.core = NavEnv(cfg, jit=False)
         tables = self.core.sensor_tables
+        # The default path vmaps only the genuinely per-scene work (crowd,
+        # dynamics, raster compositing) and runs the sensor pipeline FLAT
+        # over all S*N robots (NavEnv._sensor_pass): the polar incidence
+        # tables stream once instead of once per scene and the painter pads
+        # its 128 robot lanes once.  ``legacy_vmap`` keeps the plain
+        # vmap-the-whole-step path (parity reference; 'reference' sensor
+        # mode has no flat pipeline and always uses it).
+        self.flat_sensors = (not legacy_vmap
+                             and cfg.sensor_mode != "reference")
 
-        def reset_fn(keys):
-            out = jax.vmap(
-                lambda key: self.core.reset_fn(key, sensor_tables=tables)
-            )(keys)
-            return self._constrain(out)
+        if self.flat_sensors:
+            def reset_fn(keys, carry=None):
+                if carry is None:
+                    states = jax.vmap(self.core.reset_state_fn)(keys)
+                else:
+                    states = jax.vmap(self.core.reset_state_fn)(keys, carry)
+                out = self.core._observe_multi(states, tables)
+                return self._constrain(out)
 
-        def step_fn(states, actions):
-            out = jax.vmap(
-                lambda s, a: self.core.step_fn(s, a, sensor_tables=tables)
-            )(states, actions)
-            return self._constrain(out)
+            def step_fn(states, actions):
+                states, alive, beeps = jax.vmap(self.core.advance_fn)(
+                    states, actions)
+                states, obs = self.core._observe_multi(states, tables)
+                out = self.core._finish_step(states, obs, alive, beeps)
+                return self._constrain(out)
+        else:
+            def reset_fn(keys, carry=None):
+                if carry is None:
+                    out = jax.vmap(
+                        lambda key: self.core.reset_fn(
+                            key, sensor_tables=tables))(keys)
+                else:
+                    out = jax.vmap(
+                        lambda key, c: self.core.reset_fn(
+                            key, c, sensor_tables=tables))(keys, carry)
+                return self._constrain(out)
+
+            def step_fn(states, actions):
+                out = jax.vmap(
+                    lambda s, a: self.core.step_fn(s, a, sensor_tables=tables)
+                )(states, actions)
+                return self._constrain(out)
 
         self.reset_fn = reset_fn
         self.step_fn = step_fn
@@ -63,8 +94,11 @@ class BatchedNavEnv:
 
         return jax.tree_util.tree_map(c, tree)
 
-    def reset(self, keys):
-        return self._reset(keys)
+    def reset(self, keys, carry=None):
+        """carry: optional previous [S]-batched WorldState — persists
+        vw_last1 / gait phase across auto-resets exactly like the
+        single-scene path (nav_env.reset_state_fn carry)."""
+        return self._reset(keys, carry)
 
     def step(self, states, actions):
         return self._step(states, jnp.asarray(actions))

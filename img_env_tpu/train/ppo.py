@@ -151,7 +151,25 @@ def make_train_step(
             rkeys = jax.random.split(k_reset, s_batch)
             rstates, robs = env.reset_fn(rkeys)
 
+            def _iskey(x):
+                return jnp.issubdtype(x.dtype, jax.dtypes.prng_key)
+
             def pick(new, old):
+                if _iskey(new) or _iskey(old):
+                    # typed PRNG-key leaves (the multi-process path builds
+                    # scene keys via wrap_key_data) have no jnp.where —
+                    # select on the raw key data; the carry (``old``) may
+                    # be typed while the fresh reset keys are raw uint32,
+                    # so keep the carry's storage flavor
+                    kn = jax.random.key_data(new) if _iskey(new) else new
+                    ko = jax.random.key_data(old) if _iskey(old) else old
+                    mk = finished.reshape((s_batch,) + (1,) * (kn.ndim - 1))
+                    out = jnp.where(mk, kn, ko)
+                    if _iskey(old):
+                        return jax.random.wrap_key_data(
+                            out, impl=jax.random.key_impl(
+                                old if _iskey(old) else new))
+                    return out
                 m = finished.reshape(
                     (s_batch,) + (1,) * (new.ndim - 1))
                 return jnp.where(m, new, old)

@@ -2,6 +2,8 @@
 
 import math
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -141,3 +143,76 @@ def test_make_env_requires_transport():
     })
     with pytest.raises(ValueError):
         make_env(cfg)
+
+
+def test_sensor_map_from_scan_and_image():
+    """The sensor_maps surface is live through the frontends: synthesized
+    from the scan when no image is fed (real_env.py:141 alternative), the
+    fed camera/laser image otherwise (image_last, real_env.py:139)."""
+    sim = MockSim()
+    env = _env(sim)
+    obs = env.reset()
+    h, w = env.cfg.image_size
+    sm = obs["sensor_maps"]
+    assert sm.shape == (1, h, w)
+    # wall at 2 m -> hit cells (1.0) and pre-hit cells (0.5) both present
+    assert np.any(sm == 1.0) and np.any(sm == 0.5)
+    from img_env_tpu.utils.lidar import trans_lidar_log_map
+
+    scan = env.deal_scan(sim.get_scan())
+    np.testing.assert_array_equal(
+        sm[0], np.asarray(trans_lidar_log_map(
+            np.asarray(scan, np.float32), length=h), np.float32))
+
+    img = np.linspace(0, 1, h * w, dtype=np.float32).reshape(h, w)
+    env.feed_image(img)
+    obs2 = env.observe()
+    np.testing.assert_array_equal(obs2["sensor_maps"][0], img)
+
+
+def test_wrapped_frontend_runs_image_policy():
+    """Deployment path (VERDICT r3 #5): a CrowdNavPolicy image policy runs
+    through WrappedFrontend with a NON-ZERO stacked sensor_map."""
+    import jax
+
+    from img_env_tpu.env.gymapi import WrappedFrontend
+    from img_env_tpu.models.policy import (PolicyConfig, init_policy)
+
+    sim = MockSim()
+    cfg = EnvConfig.from_dict({
+        "robot": {"total": 1},
+        "ped_sim": {"total": 0},
+        "global_map": {"resolution": 0.1, "map_file": "room_10.png"},
+        "view_map": {"resolution": 0.05, "width": 3, "height": 3},
+        "env_type": "gazebo_env",
+        "range_total": sim.n_beams,
+        "robot_radius": 0.17,
+        "start_global_pose": [0.0, 0.0, 0.0],
+        "target_global_pose": [0.0, 3.0],
+        "image_batch": 1,
+        "wrapper": ["VelActionWrapper", "SensorsPaperRewardWrapper",
+                    "TimeLimitWrapper", "InfoLogWrapper", "ObsStateTmp"],
+    })
+    t = ExternalSimTransport(
+        get_scan=sim.get_scan, get_model_state=sim.get_model_state,
+        set_model_state=sim.set_model_state, send_cmd=sim.send_cmd,
+        get_contact=sim.get_contact)
+    env = make_env(cfg, transport=t)
+    assert isinstance(env, WrappedFrontend)
+    env.env.real_time = False
+    obs = env.reset()
+    sm, vec, _pm = obs
+    assert sm.shape[-2:] == tuple(cfg.image_size)
+    assert np.any(np.asarray(sm) != 0.0), "stacked sensor_map is all-zero"
+
+    pcfg = PolicyConfig.from_env_config(cfg)
+    model, params = init_policy(jax.random.PRNGKey(0), pcfg, batch=1)
+    for _ in range(3):
+        sm, vec, _pm = obs
+        mean, _log_std, _v = model.apply(
+            params,
+            jnp.asarray(sm, jnp.float32).reshape(1, -1, *cfg.image_size),
+            jnp.asarray(vec, jnp.float32).reshape(1, -1))
+        act = np.clip(np.asarray(mean)[0], [0.0, -0.9], [0.6, 0.9])
+        obs, r, done, info = env.step(act)
+    assert np.all(np.isfinite(np.asarray(mean)))
