@@ -238,11 +238,16 @@ static double bresenham(const Grid& src, Grid& trace, long x1, long y1,
 
 // Renders robot view + laser.  world: composed uint8 occupancy (0/1/2
 // occupied, >=250 free).  view_out: hpx*wpx u8.  hits/angular out arrays.
+// sx/sy: per-robot laser mount offset in the base frame (sensor_base_,
+// img_env.cpp:131-132): FOV gating is about the sensor (agent.cpp:381)
+// and the ray walk starts at the sensor's view cell (agent.cpp:367-369);
+// beam endpoints stay base-relative (agent.cpp:425-429).
 void oracle_view(const uint8_t* world, int wh, int ww, double wres,
                  const double* pose, int hpx, int wpx, double vres,
                  double half, double angle_begin, double angle_end,
                  double min_dist, double max_dist, int range_total,
-                 int use_laser, uint8_t* view_out, double* hits,
+                 int use_laser, double sx, double sy,
+                 uint8_t* view_out, double* hits,
                  double* angular) {
   Grid wg{const_cast<uint8_t*>(world), wh, ww, wres};
   std::memset(view_out, kUnseen, (size_t)hpx * wpx);
@@ -255,7 +260,7 @@ void oracle_view(const uint8_t* world, int wh, int ww, double wres,
       // view -> base (inverse of base2view, agent.cpp:100-118)
       double xb = cv * xv - sv * yv + half;
       double yb = sv * xv + cv * yv + half;
-      double ang = std::atan2(yb, xb);
+      double ang = std::atan2(yb - sy, xb - sx);
       if (ang <= angle_begin || ang >= angle_end) continue;
       if (xb < min_dist || xb > max_dist) continue;
       double wx = c * xb - s * yb + pose[0];
@@ -275,8 +280,8 @@ void oracle_view(const uint8_t* world, int wh, int ww, double wres,
   double astep = std::fabs(angle_end - angle_begin) / range_total;
   double ang_map_step = std::fabs(angle_end - angle_begin) / kAngularBins;
   // sensor origin cell in view pixels
-  double x0v = cv * 0 + sv * 0 - (cv * half + sv * half);
-  double y0v = -sv * 0 + cv * 0 - (-sv * half + cv * half);
+  double x0v = cv * sx + sv * sy - (cv * half + sv * half);
+  double y0v = -sv * sx + cv * sy - (-sv * half + cv * half);
   long x0 = rnd(x0v / vres), y0 = rnd(y0v / vres);
   for (int k = 0; k < range_total; ++k) {
     double cur = angle_begin + astep * k;
@@ -319,8 +324,8 @@ double oracle_bench_step(const uint8_t* base_map, int h, int w, double res,
     }
     for (int i = 0; i < n_robots; ++i) {
       oracle_view(world.data(), h, w, res, &poses[3 * i], hpx, wpx, res, 3.0,
-                  -1.570795, 1.570795, 0.0, 10.0, range_total, 1, view.data(),
-                  hits.data(), angular.data());
+                  -1.570795, 1.570795, 0.0, 10.0, range_total, 1, 0.0, 0.0,
+                  view.data(), hits.data(), angular.data());
     }
   }
   auto t1 = std::chrono::steady_clock::now();

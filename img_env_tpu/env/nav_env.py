@@ -72,6 +72,25 @@ def _pad_clouds(clouds):
     return pts, msk
 
 
+class SensorGroup(NamedTuple):
+    """One distinct per-robot sensor placement (reset_helper.py:383-384:
+    ``sensor_cfgs[j]`` per robot; agent.cpp:367-381 ``sensor_base_``).
+
+    Robots sharing a sensor config share one polar/painter pipeline; a
+    heterogeneous team runs one flat batch per group and stitches the
+    results back in robot order (NavEnv._sensor_pass)."""
+
+    idx: np.ndarray                # [k] member robot indices (global)
+    sensor: Tuple[float, float]    # laser mount offset in the base frame
+    view_statics: "ViewStatics"
+    polar: "polar_mod.PolarStatics"
+    painter: object                # PainterStatics or None
+    own_view_cells: np.ndarray     # [k,P,2]
+    own_view_valid: np.ndarray     # [k,P]
+    own_slots: np.ndarray          # [k,P]
+    own_slots_ok: np.ndarray       # [k,P]
+
+
 class EnvStatics(NamedTuple):
     """Host-precomputed constants closed over by the jitted functions."""
 
@@ -110,6 +129,9 @@ class EnvStatics(NamedTuple):
     limiter_w: LimiterParams
     orca_cfg: orca_mod.OrcaConfig
     painter: object = None         # painter_mod.PainterStatics (laser decode)
+    # distinct sensor placements; the legacy fields above mirror group 0
+    # (the only group for homogeneous teams — the common case)
+    sensor_groups: Tuple[SensorGroup, ...] = ()
 
 
 def build_statics(cfg: EnvConfig) -> EnvStatics:
@@ -204,8 +226,6 @@ def build_statics(cfg: EnvConfig) -> EnvStatics:
         op, om, od = op[:0], om[:0], od[:0]
 
     vp = ViewParams.from_config(cfg)
-    sensor0 = tuple(cfg.robot.sensor_cfgs[0]) if n else (0.0, 0.0)
-    vs = ViewStatics.build(vp, sensor0)
     # 'fast' mode runs the identical polar pipeline on a coarser view grid:
     # 9x fewer fill gathers / matmul rows; lasers quantize to the coarse cell.
     if cfg.sensor_mode == "fast":
@@ -215,17 +235,45 @@ def build_statics(cfg: EnvConfig) -> EnvStatics:
             resolution=vp.resolution * sc)
     else:
         vp_polar = vp
-    ps = polar_mod.PolarStatics.build(
-        vp_polar, sensor0, image_size=tuple(cfg.image_size))
-    ovc = np.zeros((n,) + robot_points.shape[1:], np.int32)
-    ovm = np.zeros(robot_mask.shape, bool)
-    oslots = np.full((n,) + robot_mask.shape[1:], ps.n_slots - 1, np.int32)
-    ook = np.zeros(robot_mask.shape, bool)
-    for i in range(n):
-        c_i, m_i = own_view_cells(robot_points[i], robot_mask[i], vp)
-        ovc[i], ovm[i] = c_i, m_i
-        c_p, m_p = own_view_cells(robot_points[i], robot_mask[i], vp_polar)
-        oslots[i], ook[i] = polar_mod.own_slots_from_cells(ps, c_p, m_p)
+
+    # per-robot sensor placements grouped by distinct config
+    # (reset_helper.py:383-384): one pipeline per group
+    sensors = ([tuple(float(v) for v in cfg.robot.sensor_cfgs[i])
+                for i in range(n)] if n else [(0.0, 0.0)])
+    uniq = []
+    for s_ in sensors:
+        if s_ not in uniq:
+            uniq.append(s_)
+    groups = []
+    for u in uniq:
+        idx = np.asarray([i for i in range(n) if sensors[i] == u], np.int32)
+        vs_g = ViewStatics.build(vp, u)
+        ps_g = polar_mod.PolarStatics.build(
+            vp_polar, u, image_size=tuple(cfg.image_size))
+        k = len(idx)
+        ovc = np.zeros((k,) + robot_points.shape[1:], np.int32)
+        ovm = np.zeros((k,) + robot_mask.shape[1:], bool)
+        oslots = np.full((k,) + robot_mask.shape[1:],
+                         ps_g.n_slots - 1, np.int32)
+        ook = np.zeros((k,) + robot_mask.shape[1:], bool)
+        for gi, i in enumerate(idx):
+            c_i, m_i = own_view_cells(robot_points[i], robot_mask[i], vp)
+            ovc[gi], ovm[gi] = c_i, m_i
+            c_p, m_p = own_view_cells(robot_points[i], robot_mask[i],
+                                      vp_polar)
+            oslots[gi], ook[gi] = polar_mod.own_slots_from_cells(
+                ps_g, c_p, m_p)
+        painter_g = (painter_mod.PainterStatics.build(ps_g, u)
+                     if vp.use_laser and cfg.sensor_mode != "reference"
+                     else None)
+        groups.append(SensorGroup(
+            idx=idx, sensor=u, view_statics=vs_g, polar=ps_g,
+            painter=painter_g, own_view_cells=ovc, own_view_valid=ovm,
+            own_slots=oslots, own_slots_ok=ook))
+    g0 = groups[0]
+    vs, ps = g0.view_statics, g0.polar
+    ovc, ovm, oslots, ook = (g0.own_view_cells, g0.own_view_valid,
+                             g0.own_slots, g0.own_slots_ok)
 
     return EnvStatics(
         static_map=static_map, resolution=res,
@@ -247,8 +295,8 @@ def build_statics(cfg: EnvConfig) -> EnvStatics:
             time_step=float(cfg.control_hz),
             max_obs_segments=int(cfg.max_obs_segments),
         ),
-        painter=(painter_mod.PainterStatics.build(ps, sensor0)
-                 if vp.use_laser and cfg.sensor_mode != "reference" else None),
+        painter=g0.painter,
+        sensor_groups=tuple(groups),
     )
 
 
@@ -281,59 +329,90 @@ class NavEnv:
                        and cfg.fill_mode != "gather"
                        and (cfg.fill_mode == "pallas"
                             or jax.default_backend() != "cpu"))
-        if keep_tables:
-            tables = polar_mod.make_tables(self.statics.polar)
-            # per-robot static self-stamp mask: the runtime stamp becomes
-            # one elementwise select instead of a scalar-rate scatter
-            self.sensor_tables = tables._replace(
-                own_mask=jax.device_put(
-                    jnp.asarray(polar_mod.own_mask_sorted(
-                        self.statics.polar, self.statics.own_slots,
-                        self.statics.own_slots_ok))),
-                painter=(painter_mod.make_painter_tables(self.statics.painter)
-                         if self.statics.painter is not None else None))
-        else:
+        self._groups = tuple(self.statics.sensor_groups)
+        if not self._groups:
+            # statics from an older cache: synthesize the single group
+            st_ = self.statics
+            self._groups = (SensorGroup(
+                idx=np.arange(cfg.robot.total, dtype=np.int32),
+                sensor=tuple(cfg.robot.sensor_cfgs[0]) if cfg.robot.total
+                else (0.0, 0.0),
+                view_statics=st_.view_statics, polar=st_.polar,
+                painter=st_.painter,
+                own_view_cells=st_.own_view_cells,
+                own_view_valid=st_.own_view_valid,
+                own_slots=st_.own_slots, own_slots_ok=st_.own_slots_ok),)
+        self.hetero = len(self._groups) > 1
+
+        def group_runtime(g: SensorGroup, gi: int):
+            """(device tables, paint statics, gen-2/gen-1 kernel statics)
+            for one sensor group.  Painter backend notes: the Pallas
+            kernel replaces the XLA dense decode on TPU (tables stay
+            VMEM-resident per robot-chunk); CPU keeps the XLA path (also
+            the x64 parity reference); paint_mode='xla' keeps the device
+            tables but decodes with painter.paint_sorted.  Painting only
+            the resize subgrid was MEASURED SLOWER (compacted slots make
+            block beam-windows balloon) — keep the full-view paint."""
+            tables = None
+            if keep_tables:
+                tables = polar_mod.make_tables(g.polar)
+                # per-robot static self-stamp mask: the runtime stamp is
+                # one elementwise select instead of a scalar-rate scatter
+                tables = tables._replace(
+                    own_mask=jax.device_put(
+                        jnp.asarray(polar_mod.own_mask_sorted(
+                            g.polar, g.own_slots, g.own_slots_ok))),
+                    painter=(painter_mod.make_painter_tables(g.painter)
+                             if g.painter is not None else None))
+            paint_pst = paint_kst = paint_ks = None
+            if (g.painter is not None and keep_tables
+                    and cfg.paint_mode != "xla"):
+                paint_pst = g.painter
+                if cfg.paint_mode in ("auto", "t"):
+                    # gen-2 transposed kernel: robots in lanes, 8-slot
+                    # group windows (3.3x fewer window entries)
+                    from img_env_tpu.ops import pallas_paint_t
+                    from img_env_tpu.utils import statics_cache as _scache
+
+                    ck = (f"kst{gi if gi else ''}-" + self._cache_key
+                          if self._cache_key else None)
+                    paint_kst = _scache.load(ck) if ck else None
+                    if paint_kst is None:
+                        paint_kst = pallas_paint_t.PaintTStatics.build(
+                            paint_pst)
+                        if ck:
+                            _scache.save(ck, paint_kst)
+                    tables = tables._replace(
+                        painter=tables.painter._replace(
+                            kernel_t=pallas_paint_t.make_paint_t_tables(
+                                paint_kst)))
+                else:   # 'block': gen-1 64-slot-block kernel
+                    from img_env_tpu.ops import pallas_paint
+
+                    paint_ks = pallas_paint.PaintKernelStatics.build(
+                        paint_pst)
+                    tables = tables._replace(
+                        painter=tables.painter._replace(
+                            kernel=pallas_paint.make_paint_tables(paint_ks)))
+            return tables, paint_pst, paint_kst, paint_ks
+
+        runtimes = [group_runtime(g, gi)
+                    for gi, g in enumerate(self._groups)]
+        self._group_tables = tuple(r[0] for r in runtimes)
+        self._group_paint_pst = tuple(r[1] for r in runtimes)
+        self._group_paint_kst = tuple(r[2] for r in runtimes)
+        self._group_paint_ks = tuple(r[3] for r in runtimes)
+        # legacy single-group attributes (= group 0; external consumers:
+        # bench selfcheck, benchmarks/step_profile)
+        tables0, self.paint_pst, self.paint_kst, self.paint_ks = runtimes[0]
+        # the jitted entry points take sensor_tables as ONE argument: the
+        # group-0 tables when homogeneous, the tuple of group tables when
+        # heterogeneous (_sensor_pass dispatches on the type)
+        if not keep_tables:
             self.sensor_tables = None
-        # painter backend: the Pallas kernel replaces the XLA dense decode
-        # on TPU (tables stay VMEM-resident per robot-chunk); CPU keeps the
-        # XLA path (also the x64 parity reference); paint_mode='xla' keeps
-        # the device tables but decodes with painter.paint_sorted.  Painting
-        # only the resize subgrid was MEASURED SLOWER (compacted slots make
-        # block beam-windows balloon: 23k slots but 9.7M window entries vs
-        # 5.4M full) — keep the full-view paint.
-        self.paint_ks = None
-        self.paint_pst = None
-        self.paint_kst = None
-        if (self.statics.painter is not None
-                and keep_tables
-                and cfg.paint_mode != "xla"):
-            self.paint_pst = self.statics.painter
-            if cfg.paint_mode in ("auto", "t"):
-                # gen-2 transposed kernel: robots in lanes, 8-slot group
-                # windows (3.3x fewer window entries at production shape)
-                from img_env_tpu.ops import pallas_paint_t
-                from img_env_tpu.utils import statics_cache as _scache
-
-                self.paint_kst = (_scache.load("kst-" + self._cache_key)
-                                  if self._cache_key else None)
-                if self.paint_kst is None:
-                    self.paint_kst = pallas_paint_t.PaintTStatics.build(
-                        self.paint_pst)
-                    if self._cache_key:
-                        _scache.save("kst-" + self._cache_key,
-                                     self.paint_kst)
-                self.sensor_tables = self.sensor_tables._replace(
-                    painter=self.sensor_tables.painter._replace(
-                        kernel_t=pallas_paint_t.make_paint_t_tables(
-                            self.paint_kst)))
-            else:   # 'block': gen-1 64-slot-block kernel
-                from img_env_tpu.ops import pallas_paint
-
-                self.paint_ks = pallas_paint.PaintKernelStatics.build(
-                    self.paint_pst)
-                self.sensor_tables = self.sensor_tables._replace(
-                    painter=self.sensor_tables.painter._replace(
-                        kernel=pallas_paint.make_paint_tables(self.paint_ks)))
+        else:
+            self.sensor_tables = (self._group_tables if self.hetero
+                                  else tables0)
         # FOV-fill backend: the Pallas matmul kernel replaces XLA's scalar
         # gather (~570 ms -> MXU work at 200 robots); 'auto' keeps the plain
         # gather on CPU where the x64 parity tests run.
@@ -732,6 +811,8 @@ class NavEnv:
         scene), and the painter kernel pads to 128 robot lanes once
         instead of per scene.
         """
+        if self.hetero:
+            return self._sensor_pass_grouped(packed, poses, sensor_tables)
         st = self.statics
         cfg = self.cfg
         ps = st.polar
@@ -805,6 +886,101 @@ class NavEnv:
                 vals = polar_mod.stamp_self_sorted(ps, vals, slots, ok)
         sensor_maps = polar_mod.sensor_maps_from_sorted(
             ps, vals, tuple(cfg.image_size), t=t)
+        return sensor_maps, hits, angular
+
+    # ------------------------------------------------------------------
+    def _sensor_pass_grouped(self, packed, poses, sensor_tables=None):
+        """Heterogeneous sensor configs: one flat pipeline per distinct
+        sensor placement (SensorGroup), results stitched back in robot
+        order.  sensor_tables is the per-group tuple (NavEnv.__init__).
+        Reference: per-robot ``sensor_cfg`` (reset_helper.py:383-384)
+        feeding ``Agent::sensor_base_`` (img_env.cpp:131-132)."""
+        st = self.statics
+        cfg = self.cfg
+        vp = st.view_params
+        b = poses.shape[0]
+        multi = packed.ndim == 3
+        s = packed.shape[0] if multi else 1
+        n = b // s                       # robots per scene (all groups)
+        tabs = (sensor_tables if sensor_tables is not None
+                else (None,) * len(self._groups))
+
+        outs = []
+        order = []
+        for g, t, kst, pst_k, ks in zip(
+                self._groups, tabs, self._group_paint_kst,
+                self._group_paint_pst, self._group_paint_ks):
+            ps = g.polar
+            k = len(g.idx)
+            flat_idx = (np.arange(s)[:, None] * n
+                        + g.idx[None, :]).reshape(-1)
+            order.append(flat_idx)
+            poses_g = poses[jnp.asarray(flat_idx)]
+            rids = jnp.tile(jnp.asarray(g.idx + 1, jnp.int32), (s,))
+
+            if self.fill_pallas:
+                from img_env_tpu.ops.pallas_fill import fill_sorted_pallas
+
+                occ = fill_sorted_pallas(
+                    ps, packed, st.resolution, poses_g, t=t, rids=rids)
+            elif multi:
+                occ = jax.vmap(
+                    lambda pm, p: polar_mod.fill_sorted(
+                        ps, pm, st.resolution, p, t=t,
+                        rids=jnp.asarray(g.idx + 1, jnp.int32))
+                )(packed, poses_g.reshape(s, k, 3))
+                occ = occ.reshape(s * k, -1)
+            else:
+                occ = polar_mod.fill_sorted(
+                    ps, packed, st.resolution, poses_g, t=t, rids=rids)
+
+            if vp.use_laser:
+                hits_g, ang_g, aux = polar_mod.raycast_batched(
+                    ps, occ, t=t, return_aux=True)
+                pt = t.painter if t is not None else None
+                s_hit, s_tail = painter_mod.hit_steps(g.painter, *aux, t=pt)
+                if kst is not None:
+                    from img_env_tpu.ops import pallas_paint_t
+
+                    vals = pallas_paint_t.paint_sorted_pallas_t(
+                        kst, s_hit, s_tail,
+                        tables=pt.kernel_t if pt is not None else None)
+                elif ks is not None:
+                    from img_env_tpu.ops import pallas_paint
+
+                    vals = pallas_paint.paint_sorted_pallas(
+                        pst_k, ks, s_hit, s_tail,
+                        tables=pt.kernel if pt is not None else None)
+                else:
+                    vals = painter_mod.paint_sorted(
+                        g.painter, s_hit, s_tail, t=pt)
+            else:
+                hits_g = jnp.full((s * k, vp.range_total), 6.0)
+                ang_g = jnp.full((s * k, 72), vp.max_dist)
+                inside = polar_mod.inside_sorted(
+                    ps, packed.shape[-2:], st.resolution, poses_g, t=t)
+                vals = polar_mod.plain_values_sorted(ps, occ, inside, t=t)
+
+            own_mask = (t.own_mask if t is not None
+                        and t.own_mask is not None else None)
+            if own_mask is not None:
+                vals = polar_mod.stamp_self_mask(
+                    vals.reshape(s, k, vals.shape[-1]), own_mask[None]
+                ).reshape(s * k, -1)
+            else:
+                slots = jnp.asarray(g.own_slots)
+                ok = jnp.asarray(g.own_slots_ok)
+                vals = jax.vmap(
+                    lambda v: polar_mod.stamp_self_sorted(ps, v, slots, ok)
+                )(vals.reshape(s, k, vals.shape[-1])).reshape(s * k, -1)
+            sm_g = polar_mod.sensor_maps_from_sorted(
+                ps, vals, tuple(cfg.image_size), t=t)
+            outs.append((sm_g, hits_g, ang_g))
+
+        inv = jnp.asarray(np.argsort(np.concatenate(order)))
+        sensor_maps = jnp.concatenate([o[0] for o in outs])[inv]
+        hits = jnp.concatenate([o[1] for o in outs])[inv]
+        angular = jnp.concatenate([o[2] for o in outs])[inv]
         return sensor_maps, hits, angular
 
     # ------------------------------------------------------------------
@@ -938,17 +1114,31 @@ class NavEnv:
         vp = st.view_params
         rid1 = jnp.arange(1, n + 1, dtype=jnp.int32)
         if cfg.sensor_mode == "reference":
-            # per-robot gather path (kept for cross-checking; slower)
-            vs = st.view_statics
-            render = jax.vmap(
-                lambda pose, rid, vc, vm: render_robot_view(
-                    layers, st.resolution, pose, rid, vc, vm, vs, vp
+            # per-robot gather path (kept for cross-checking; slower);
+            # heterogeneous sensor groups render per group and stitch
+            outs, order = [], []
+            for g in (self._groups or (None,)):
+                vs = g.view_statics if g is not None else st.view_statics
+                idx = (g.idx if g is not None
+                       else np.arange(n, dtype=np.int32))
+                order.append(idx)
+                render = jax.vmap(
+                    lambda pose, rid, vc, vm, vs=vs: render_robot_view(
+                        layers, st.resolution, pose, rid, vc, vm, vs, vp
+                    )
                 )
-            )
-            views, hits, angular = render(
-                state.robots.pose, rid1,
-                jnp.asarray(st.own_view_cells), jnp.asarray(st.own_view_valid),
-            )
+                ovc = (g.own_view_cells if g is not None
+                       else st.own_view_cells)
+                ovm = (g.own_view_valid if g is not None
+                       else st.own_view_valid)
+                outs.append(render(
+                    state.robots.pose[jnp.asarray(idx)],
+                    rid1[jnp.asarray(idx)],
+                    jnp.asarray(ovc), jnp.asarray(ovm)))
+            inv = jnp.asarray(np.argsort(np.concatenate(order)))
+            views = jnp.concatenate([o[0] for o in outs])[inv]
+            hits = jnp.concatenate([o[1] for o in outs])[inv]
+            angular = jnp.concatenate([o[2] for o in outs])[inv]
             sensor_maps = sensor_map_from_view(views, tuple(cfg.image_size))
         else:
             sensor_maps, hits, angular = self._sensor_pass(

@@ -68,10 +68,10 @@ def _fill_kernel(pose_ref, pixx_ref, pixy_ref, map_ref, out_ref,
                  res: float, h: int, w: int, fw: int, bm: int, bn: int,
                  n_copies: int, nps: int):
     r = pl.program_id(0)
-    c = pose_ref[r * 4 + 0]
-    s = pose_ref[r * 4 + 1]
-    px = pose_ref[r * 4 + 2]
-    py = pose_ref[r * 4 + 3]
+    c = pose_ref[r * 5 + 0]
+    s = pose_ref[r * 5 + 1]
+    px = pose_ref[r * 5 + 2]
+    py = pose_ref[r * 5 + 3]
     shift = 128 // n_copies
 
     # Once per robot: occupancy decode over the whole map (raster.py
@@ -80,11 +80,13 @@ def _fill_kernel(pose_ref, pixx_ref, pixy_ref, map_ref, out_ref,
     # Copy cp holds the decode shifted LEFT by shift*cp lanes, so block
     # corners only need 32-lane alignment when n_copies == 4.
     # Multi-scene: the map BlockSpec selects scene r // nps; robot ids in
-    # the packed map are per-scene, so self-exclusion compares r % nps + 1.
+    # the packed map are per-scene, carried explicitly in the pose row
+    # (heterogeneous sensor groups run each group's robots as a separate
+    # flat batch, so r is not the in-scene robot id).
     @pl.when(pl.program_id(1) == 0)
     def _decode():
         v = map_ref[0, :, :].astype(jnp.int32)
-        rid = r % nps + 1
+        rid = pose_ref[r * 5 + 4].astype(jnp.int32)
         occ = ((v & 1) > 0) | (((v >> 1) & 3) >= 2) | \
               ((((v >> 1) & 3) == 1) & ((v >> 3) != rid))
         occ8 = occ.astype(jnp.int8)
@@ -162,7 +164,7 @@ def _fill_kernel(pose_ref, pixx_ref, pixy_ref, map_ref, out_ref,
 def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, *,
                        res: float, fw: int, bm: int, bn: int,
                        n_copies: int = 1, nps: int = 0,
-                       interpret: bool = False):
+                       rids=None, interpret: bool = False):
     """[N, len(pix_x)] 0/1 occupancy (self excluded) at the given pixels.
 
     packed_map_i16: [S, H, W] int16 id-packed map(s) (prepare_map: H
@@ -179,6 +181,10 @@ def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, *,
     _, h, w = packed_map_i16.shape
     n = poses.shape[0]
     nps = nps or n
+    if rids is None:
+        # in-scene robot ids 1..nps (scene-major flat order)
+        rids = jnp.tile(jnp.arange(1, nps + 1, dtype=jnp.int32),
+                        n // nps if nps else 1)
     p0 = pix_x.shape[0]
     pad = (-p0) % (fw * WIN_PER_STEP)
     if pad:
@@ -189,7 +195,8 @@ def fill_values_pallas(packed_map_i16, poses, pix_x, pix_y, *,
     steps = windows // WIN_PER_STEP
     pose_flat = jnp.stack(
         [jnp.cos(poses[:, 2]), jnp.sin(poses[:, 2]),
-         poses[:, 0], poses[:, 1]], axis=-1).astype(jnp.float32).reshape(-1)
+         poses[:, 0], poses[:, 1],
+         rids.astype(jnp.float32)], axis=-1).astype(jnp.float32).reshape(-1)
     pixx2 = pix_x.reshape(windows, fw).astype(jnp.float32)
     pixy2 = pix_y.reshape(windows, fw).astype(jnp.float32)
 
@@ -237,7 +244,7 @@ def prepare_map(packed_map_i32, bm: int, bn: int) -> jnp.ndarray:
 
 
 def fill_sorted_pallas(ps, packed_map, resolution, poses, t=None,
-                       interpret=False):
+                       rids=None, interpret=False):
     """Drop-in for ops/polar.fill_sorted using the Pallas matmul kernel.
 
     Returns [N, P'] boolean GATED occupancy (self excluded): equal to
@@ -265,7 +272,7 @@ def fill_sorted_pallas(ps, packed_map, resolution, poses, t=None,
                              bx[:nf], by[:nf],
                              res=float(resolution), fw=int(ps.fill_window),
                              bm=bm, bn=bn, n_copies=n_copies, nps=nps,
-                             interpret=interpret)
+                             rids=rids, interpret=interpret)
 
     def inside_mask(pose):
         c, s = jnp.cos(pose[2]), jnp.sin(pose[2])

@@ -380,11 +380,13 @@ def decode_packed(v, rid1):
 
 
 def fill_sorted(ps: PolarStatics, packed_map, resolution, poses,
-                t: PolarTables = None):
+                t: PolarTables = None, rids=None):
     """[N, P'] occupancy in sorted order — ONE gather per robot.
 
     Mirrors ops/view.gather_world_occupancy (id-packed map, self-exclusion
     by robot id — no second gather), emitting the sorted slot layout.
+    ``rids``: explicit in-scene robot ids (1-based) — heterogeneous sensor
+    groups pass their member ids; default 1..N.
     """
     from img_env_tpu.ops.raster import round_half_away
 
@@ -392,6 +394,8 @@ def fill_sorted(ps: PolarStatics, packed_map, resolution, poses,
     n = poses.shape[0]
     bx = t.pix_x if t is not None else jnp.asarray(ps.pix_x_sorted)
     by = t.pix_y if t is not None else jnp.asarray(ps.pix_y_sorted)
+    if rids is None:
+        rids = jnp.arange(1, n + 1, dtype=jnp.int32)
 
     def one(pose, rid1):
         c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
@@ -403,7 +407,7 @@ def fill_sorted(ps: PolarStatics, packed_map, resolution, poses,
         v = packed_map[jnp.clip(cm, 0, h - 1), jnp.clip(cn, 0, w - 1)]
         return inside & decode_packed(v, rid1)
 
-    return jax.vmap(one)(poses, jnp.arange(1, n + 1, dtype=jnp.int32))
+    return jax.vmap(one)(poses, rids)
 
 
 def raycast_batched(ps: PolarStatics, occ_sorted, t: PolarTables = None,

@@ -54,7 +54,7 @@ def load() -> Optional[ctypes.CDLL]:
     L.oracle_cmd.argtypes = [f8p, f8p, f8p, f8p, d, d, d, d, c, f8p, f8p, f8p]
     L.oracle_view.restype = None
     L.oracle_view.argtypes = [u8p, c, c, d, f8p, c, c, d, d, d, d, d, d, c, c,
-                              u8p, f8p, f8p]
+                              d, d, u8p, f8p, f8p]
     L.oracle_bench_step.restype = d
     L.oracle_bench_step.argtypes = [u8p, c, c, d, f8p, f8p, f8p, c, c, c, c,
                                     c, c]
@@ -96,7 +96,7 @@ def cmd(pose, goal, last0, last1, v, w, v_y, dt, omni, lim_v, lim_w):
 def view(world: np.ndarray, wres: float, pose, hpx: int, wpx: int,
          vres: float, half: float, angle_begin: float, angle_end: float,
          min_dist: float, max_dist: float, range_total: int,
-         use_laser: bool = True):
+         use_laser: bool = True, sensor=(0.0, 0.0)):
     L = load()
     pose = np.ascontiguousarray(pose, np.float64)
     out = np.zeros((hpx, wpx), np.uint8)
@@ -105,7 +105,8 @@ def view(world: np.ndarray, wres: float, pose, hpx: int, wpx: int,
     L.oracle_view(np.ascontiguousarray(world, np.uint8), world.shape[0],
                   world.shape[1], wres, pose, hpx, wpx, vres, half,
                   angle_begin, angle_end, min_dist, max_dist, range_total,
-                  int(use_laser), out, hits, angular)
+                  int(use_laser), float(sensor[0]), float(sensor[1]),
+                  out, hits, angular)
     return out, hits, angular
 
 

@@ -35,6 +35,28 @@ def pytest_configure(config):
         "markers", "slow: long-running convergence/e2e tests")
 
 
+# Fast/full tier split: tests/slow_tests.txt lists the measured heavy
+# tests (>~25 s on the CI box).  ``pytest tests/ -m "not slow" -q`` is the
+# fast developer loop; the full suite (~55 min cold, ~25 min cached) stays
+# the CI/judge target.  Explicit @pytest.mark.slow decorators also work.
+def _slow_set():
+    path = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    try:
+        with open(path) as f:
+            return {ln.strip() for ln in f if ln.strip()
+                    and not ln.startswith("#")}
+    except OSError:
+        return set()
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_set()
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        if base in slow:
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
