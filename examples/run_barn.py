@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--max-steps", type=int, default=200)
     ap.add_argument("--out", default="/tmp/barn_out")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--batched", action="store_true",
+                    help="all worlds as ONE compiled program (padded maps "
+                         "on the scene axis; eval/barn.run_barn_suite_batched)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -43,7 +46,7 @@ def main() -> None:
 
     from img_env_tpu.config import EnvConfig
     from img_env_tpu.datasets import barn
-    from img_env_tpu.eval.barn import run_barn_suite
+    from img_env_tpu.eval.barn import run_barn_suite, run_barn_suite_batched
 
     if args.generate:
         worlds = barn.generate_worlds("/tmp/barn_worlds", n=args.generate)
@@ -64,11 +67,22 @@ def main() -> None:
         w = float(np.clip(np.arctan2(vec[1], vec[0]), -0.9, 0.9))
         return np.asarray([[0.5, w]])
 
-    rows = run_barn_suite(
-        worlds, cfg, policy, episodes_per_world=args.episodes,
-        max_steps=args.max_steps,
-        output_csv=os.path.join(args.out, "barn_worlds.csv"),
-        output_txt=os.path.join(args.out, "barn_episodes.txt"))
+    if args.batched:
+        def policy_b(key, obs):
+            vec = np.asarray(obs.vector_states)[..., -3:]      # [S,N,3]
+            w = np.clip(np.arctan2(vec[..., 1], vec[..., 0]), -0.9, 0.9)
+            return np.stack([np.full_like(w, 0.5), w], axis=-1)
+
+        rows = run_barn_suite_batched(
+            worlds, cfg, policy_b, episodes_per_world=args.episodes,
+            max_steps=args.max_steps,
+            output_csv=os.path.join(args.out, "barn_worlds.csv"))
+    else:
+        rows = run_barn_suite(
+            worlds, cfg, policy, episodes_per_world=args.episodes,
+            max_steps=args.max_steps,
+            output_csv=os.path.join(args.out, "barn_worlds.csv"),
+            output_txt=os.path.join(args.out, "barn_episodes.txt"))
     arr = float(np.mean([r["arrive_rate"] for r in rows]))
     print(f"worlds={len(rows)} mean arrive_rate={arr:.2f} -> {args.out}")
 

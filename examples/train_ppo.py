@@ -44,6 +44,13 @@ def main():
                          "+-500; 0.02 keeps the value loss in range)")
     ap.add_argument("--sigma0", type=float, default=-0.5,
                     help="initial log-std of the Gaussian policy head")
+    ap.add_argument("--force-sigma", type=float, default=None,
+                    help="override pi_log_std AFTER --restore (the "
+                         "checkpoint carries its own annealed sigma; "
+                         "polish stages shrink it explicitly)")
+    ap.add_argument("--ent-coef", type=float, default=0.01,
+                    help="entropy bonus weight (lower to let sigma anneal "
+                         "in late curriculum stages)")
     ap.add_argument("--curve", default=None,
                     help="write PREFIX.csv + PREFIX.png learning curves")
     ap.add_argument("--save", default=None,
@@ -103,12 +110,22 @@ def main():
 
         params = ckpt_mod.restore(args.restore, like={"params": params})["params"]
         print(f"warm-started params from {args.restore}")
+    if args.force_sigma is not None:
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(params)
+        for k in flat:
+            if k[-1] == "pi_log_std":
+                flat[k] = jnp.full_like(flat[k], args.force_sigma)
+        params = flax.traverse_util.unflatten_dict(flat)
+        print(f"pi_log_std forced to {args.force_sigma}")
     params = jax.device_put(params, tp_param_shardings(params, mesh))
 
     init_fn, train_step = make_train_step(
         env, model, PpoConfig(unroll=args.unroll, lr=args.lr,
                               epochs=args.epochs,
                               minibatches=args.minibatches,
+                              ent_coef=args.ent_coef,
                               reward_scale=args.reward_scale))
     ts = init_fn(params)
     step = jax.jit(train_step)

@@ -439,18 +439,25 @@ class NavEnv:
     # reset
     # ------------------------------------------------------------------
     def reset_fn(self, key, carry: Optional[WorldState] = None, dataset=None,
-                 sensor_tables=None):
+                 sensor_tables=None, static_map=None):
         """dataset: optional (traj [M,T,2], vel [M,T,2], length [M]) replay
         arrays for the ``dataset`` scene type (ETH/UCY; img_env.cpp:361-386);
         ped initial pose/velocity then come from frame 0.
         sensor_tables: device tables (polar.make_tables) — pass through jit
         so the big static matrices stay runtime arguments."""
-        state = self.reset_state_fn(key, carry, dataset)
+        state = self.reset_state_fn(key, carry, dataset, static_map)
         return self._observe(state, sensor_tables)
 
     def reset_state_fn(self, key, carry: Optional[WorldState] = None,
-                       dataset=None) -> WorldState:
-        """Scenario sampling + map/EDT build, WITHOUT the sensor pass."""
+                       dataset=None, static_map=None) -> WorldState:
+        """Scenario sampling + map/EDT build, WITHOUT the sensor pass.
+
+        static_map: optional per-episode base occupancy map overriding the
+        config's (heterogeneous scene batching: a BARN sweep / mixed-map
+        curriculum runs different worlds in ONE program — the reference
+        launches different (env_name, env_num) nodes, create_launch.py:25-34).
+        Must share the configured map's resolution; shapes may differ from
+        the config map but must agree across scenes of one batch."""
         st = self.statics
         cfg = self.cfg
         n, m = cfg.robot.total, cfg.ped_sim.total
@@ -464,8 +471,10 @@ class NavEnv:
             jnp.logical_not(jnp.asarray(st.obs_is_circle))[:, None]
             | (jnp.asarray(st.obs_point_dist) <= sc.obs_circle_r[:, None])
         )
+        base_map = (jnp.asarray(st.static_map) if static_map is None
+                    else jnp.asarray(static_map))
         obs_map = raster.draw_obstacles(
-            jnp.asarray(st.static_map), st.resolution,
+            base_map, st.resolution,
             sc.obs_pose, jnp.asarray(st.obs_points), dyn_mask,
         )
         aabb = obstacle_corners(sc.obs_pose, st.sampler, sc.obs_circle_r)

@@ -100,3 +100,116 @@ def run_barn_suite(
         with open(output_txt, "w") as f:
             f.write("\n".join(ep_lines) + "\n")
     return rows
+
+
+def run_barn_suite_batched(
+    world_files: Sequence[str],
+    base_cfg,
+    policy_fn: Callable,            # (key, obs) -> actions [S, N, >=2]
+    episodes_per_world: int = 3,
+    max_steps: int = 200,
+    output_csv: Optional[str] = None,
+    seed: int = 0,
+) -> List[dict]:
+    """All worlds step as ONE compiled program (heterogeneous scene
+    batching): the world maps are padded to a common shape (pad cells =
+    occupied) and ride the scene axis of BatchedNavEnv via
+    ``reset(..., static_maps=...)``.  The reference launches a separate
+    Gazebo per world (BarnDataSetWrapper); the sequential
+    ``run_barn_suite`` above recompiles per distinct map size.  Returns
+    the same per-world metric rows.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from img_env_tpu.env import maps as maps_mod
+    from img_env_tpu.parallel.batched_env import BatchedNavEnv
+
+    s = len(world_files)
+    cfg = base_cfg.replace(
+        map_file=os.path.basename(world_files[0]),
+        map_dir=(os.path.dirname(os.path.abspath(world_files[0]))
+                 or base_cfg.map_dir))
+    loaded = [maps_mod.load_static_map(cfg.replace(
+        map_file=os.path.basename(w),
+        map_dir=os.path.dirname(os.path.abspath(w)) or cfg.map_dir,
+    )) for w in world_files]
+    hm = max(m.shape[0] for m in loaded)
+    wm = max(m.shape[1] for m in loaded)
+    maps = np.zeros((s, hm, wm), loaded[0].dtype)   # pad = 0 (occupied)
+    for i, m in enumerate(loaded):
+        maps[i, : m.shape[0], : m.shape[1]] = m
+
+    env = BatchedNavEnv(cfg, mesh=None)
+    n = cfg.robot.total
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    maps_j = jnp.asarray(maps)
+    states, obs = env.reset(jax.random.split(k0, s), static_maps=maps_j)
+
+    t0 = time.perf_counter()
+    ep_done = np.zeros(s, np.int64)
+    arrive = np.zeros(s, np.int64)
+    s_coll = np.zeros(s, np.int64)
+    p_coll = np.zeros(s, np.int64)
+    stuck = np.zeros(s, np.int64)
+    elapsed = np.zeros(s, np.int64)
+    steps = 0
+    while (ep_done < episodes_per_world).any() and steps < (
+            max_steps * episodes_per_world * 2):
+        key, k = jax.random.split(key)
+        actions = jnp.asarray(policy_fn(k, obs))
+        if actions.shape[-1] < 3:
+            actions = jnp.concatenate(
+                [actions, jnp.zeros(actions.shape[:-1] + (1,))], -1)
+        states, obs, reward, done, info = env.step(states, actions)
+        steps += 1
+        elapsed += 1
+        coll = np.asarray(obs.is_collisions)        # [S, N]
+        arr = np.asarray(obs.is_arrives)
+        # per-world episode end: every robot down, or per-world time limit
+        down = ((np.clip(coll, 0, 1) + arr) > 0).all(axis=1)
+        timeout = elapsed >= max_steps
+        fin = (down | timeout) & (ep_done < episodes_per_world)
+        if fin.any():
+            for i in np.nonzero(fin)[0]:
+                ep_done[i] += 1
+                arrive[i] += int(arr[i].all())
+                s_coll[i] += int((coll[i] == 1).any())
+                p_coll[i] += int((coll[i] == 2).any())
+                stuck[i] += int(timeout[i] and not down[i])
+            # re-draw finished worlds (same per-world map), keep others
+            key, kr = jax.random.split(key)
+            rstates, robs = env.reset(
+                jax.random.split(kr, s), carry=states, static_maps=maps_j)
+            m = jnp.asarray(fin)
+            pick = lambda new, old: jnp.where(
+                m.reshape((s,) + (1,) * (new.ndim - 1)), new, old)
+            states = jax.tree_util.tree_map(pick, rstates, states)
+            obs = jax.tree_util.tree_map(pick, robs, obs)
+            elapsed[fin] = 0
+    wall = time.perf_counter() - t0
+
+    rows = []
+    for i, wf in enumerate(world_files):
+        e = max(int(ep_done[i]), 1)
+        rows.append({
+            "world": os.path.basename(wf),
+            "episodes": int(ep_done[i]),
+            "arrive_rate": arrive[i] / e,
+            "static_coll_rate": s_coll[i] / e,
+            "ped_coll_rate": p_coll[i] / e,
+            "stuck_rate": stuck[i] / e,
+            "avg_v": float("nan"),
+            "avg_w": float("nan"),
+            "wall_s": round(wall, 2),
+        })
+        print(f"[barn-batched] {rows[-1]}")
+    if output_csv and rows:
+        os.makedirs(os.path.dirname(os.path.abspath(output_csv)),
+                    exist_ok=True)
+        with open(output_csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+    return rows

@@ -45,11 +45,16 @@ class BatchedNavEnv:
                              and cfg.sensor_mode != "reference")
 
         if self.flat_sensors:
-            def reset_fn(keys, carry=None):
-                if carry is None:
-                    states = jax.vmap(self.core.reset_state_fn)(keys)
-                else:
-                    states = jax.vmap(self.core.reset_state_fn)(keys, carry)
+            def reset_fn(keys, carry=None, static_maps=None):
+                f = self.core.reset_state_fn
+                # per-scene static maps (heterogeneous worlds — a BARN
+                # sweep compiles once; reference: one ROS node per
+                # (env_name, env_num), create_launch.py:25-34)
+                sm_ax = None if static_maps is None else 0
+                states = jax.vmap(
+                    lambda key, c, m: f(key, c, static_map=m),
+                    in_axes=(0, None if carry is None else 0, sm_ax),
+                )(keys, carry, static_maps)
                 out = self.core._observe_multi(states, tables)
                 return self._constrain(out)
 
@@ -60,15 +65,13 @@ class BatchedNavEnv:
                 out = self.core._finish_step(states, obs, alive, beeps)
                 return self._constrain(out)
         else:
-            def reset_fn(keys, carry=None):
-                if carry is None:
-                    out = jax.vmap(
-                        lambda key: self.core.reset_fn(
-                            key, sensor_tables=tables))(keys)
-                else:
-                    out = jax.vmap(
-                        lambda key, c: self.core.reset_fn(
-                            key, c, sensor_tables=tables))(keys, carry)
+            def reset_fn(keys, carry=None, static_maps=None):
+                out = jax.vmap(
+                    lambda key, c, m: self.core.reset_fn(
+                        key, c, sensor_tables=tables, static_map=m),
+                    in_axes=(0, None if carry is None else 0,
+                             None if static_maps is None else 0),
+                )(keys, carry, static_maps)
                 return self._constrain(out)
 
             def step_fn(states, actions):
@@ -94,11 +97,13 @@ class BatchedNavEnv:
 
         return jax.tree_util.tree_map(c, tree)
 
-    def reset(self, keys, carry=None):
+    def reset(self, keys, carry=None, static_maps=None):
         """carry: optional previous [S]-batched WorldState — persists
         vw_last1 / gait phase across auto-resets exactly like the
-        single-scene path (nav_env.reset_state_fn carry)."""
-        return self._reset(keys, carry)
+        single-scene path (nav_env.reset_state_fn carry).
+        static_maps: optional [S,H,W] per-scene base maps (heterogeneous
+        worlds in one program; same resolution, shapes padded equal)."""
+        return self._reset(keys, carry, static_maps)
 
     def step(self, states, actions):
         return self._step(states, jnp.asarray(actions))
