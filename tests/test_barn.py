@@ -106,3 +106,32 @@ def test_barn_batched_multi_world():
         worlds, cfg, policy, episodes_per_world=1, max_steps=60)
     assert len(rows) == 3
     assert all(r["episodes"] == 1 for r in rows)
+
+
+def test_convert_real_barn_world_format(tmp_path):
+    """The real-BARN .world converter parses the Gazebo SDF cylinder
+    layout (tests/data/barn_world_fixture.world is format-faithful: one
+    unit_cylinder model per obstacle cell at the 0.15 m pitch) and the
+    result drives the benchmark end-to-end."""
+    import numpy as np
+
+    from img_env_tpu.datasets import barn
+
+    wf = os.path.join(os.path.dirname(__file__), "data",
+                      "barn_world_fixture.world")
+    grid = barn.convert_barn_world(wf)
+    assert (grid == barn.OBST).sum() == 102      # every cylinder mapped
+    assert grid.shape[0] >= 30 and grid.shape[1] >= 30
+    # wall columns present at the padded border offset
+    assert (grid[:, 2] == barn.OBST).sum() >= 25
+
+    pngs = barn.convert_barn_worlds([wf], str(tmp_path))
+    from img_env_tpu.config import EnvConfig
+    from img_env_tpu.env.nav_env import NavEnv
+
+    cfg = EnvConfig.from_dict(barn.world_cfg_dict(pngs[0], n_beams=32))
+    env = NavEnv(cfg)
+    import jax
+
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(obs.lasers)).all()
