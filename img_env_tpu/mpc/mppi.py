@@ -42,6 +42,10 @@ class MppiConfig(NamedTuple):
                                      # min-clearance over constant-velocity
                                      # tracks is decided by near neighbours;
                                      # all-pairs scoring is O(N^2 K H)
+    exact_cost: bool = False         # escape hatch: no k-nearest pruning,
+                                     # no min-pooled EDT patch — every
+                                     # lookup exact (the parity mode for
+                                     # tests/test_mpc_approximations.py)
 
 
 class PlannerState(NamedTuple):
@@ -177,7 +181,7 @@ def batched_mppi(
     O(N^2 K H) — at 200 robots it dominated the whole solve.
     """
     n = poses.shape[0]
-    if robot_traj is not None and 0 < cfg.avoid_k < n - 1:
+    if robot_traj is not None and not cfg.exact_cost and 0 < cfg.avoid_k < n - 1:
         # k-nearest OTHER robots by current position (self at +inf)
         diff = poses[:, None, :2] - poses[None, :, :2]
         d2 = (diff ** 2).sum(-1) + jnp.where(
@@ -201,7 +205,8 @@ def batched_mppi(
     pool = max(1, patch_size // 96)
 
     def one(i, key, nom, pose, a0, a1, goal, nbr):
-        local_edt = (*local_edt_patch(wc, pose[:2], patch_size, pool), pool)
+        local_edt = (None if cfg.exact_cost else
+                     (*local_edt_patch(wc, pose[:2], patch_size, pool), pool))
         if robot_traj is not None:
             if nbr.shape[0] > 0:
                 others = robot_traj[:, nbr, :]                  # [H,k,2]
