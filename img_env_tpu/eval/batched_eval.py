@@ -11,6 +11,14 @@ the whole bank in ~100 round trips (~1 min), with identical episode draws
 Reports the outcome metrics (arrive/collision/stuck rates, dones_info
 codes {1,2,3,5,10}, avg arrive steps); per-step smoothness metrics
 (jerk, w-variance) remain on the sequential path.
+
+Two deliberate semantic differences from the sequential evaluator
+(measured on the committed stage5_ckpt/bank50: batched 0.86/0.06/0.08
+stuck in 275 s vs sequential 0.88/0.06 in 1382 s):
+  * episodes that hit max_steps are labeled DONE_TIMEOUT here; the
+    sequential loop leaves them outcome-less (its 'missing' 6%);
+  * scenes start fresh — the sequential facade threads vw_last1 / ped
+    gait phase across bank episodes (reference: the C++ node persists).
 """
 
 from __future__ import annotations
