@@ -62,27 +62,29 @@ def main():
                 ScenarioBank.generate(0, args.episodes))
         if args.bank and not os.path.exists(args.bank):
             bank.save(args.bank)
+        n_scenes = min(args.episodes, len(bank.keys))
         if args.policy == "ckpt":
             from img_env_tpu.models.policy import load_ckpt_policy
 
             pf, params = load_ckpt_policy(
-                cfg, args.ckpt, args.episodes * cfg.robot.total)
+                cfg, args.ckpt, n_scenes * cfg.robot.total)
 
             def policy(key, obs):
                 import jax.numpy as jnp
 
+                s = obs.vector_states.shape[0]   # actual scene count
                 flat = jax.tree_util.tree_map(
                     lambda x: x.reshape((-1,) + x.shape[2:]), obs)
                 a = pf(params, flat)
-                return jnp.asarray(a).reshape(
-                    args.episodes, cfg.robot.total, -1)
+                return jnp.asarray(a).reshape(s, cfg.robot.total, -1)
         else:
             rng_b = np.random.default_rng(0)
 
             def policy(key, obs):
+                s = obs.vector_states.shape[0]
                 return rng_b.uniform(
                     [0.0, -0.9], [0.6, 0.9],
-                    (args.episodes, cfg.robot.total, 2))
+                    (s, cfg.robot.total, 2))
         summary, dones = evaluate_batched(
             cfg, policy, args.episodes, args.max_steps, bank=bank)
         for k, v in summary.items():

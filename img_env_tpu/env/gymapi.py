@@ -248,7 +248,11 @@ class WrappedFrontend:
         elif "lasers" in d:
             from img_env_tpu.utils.lidar import trans_lidar_log_map
 
+            # frontends normalize lasers (norm_lasers); the log-polar map
+            # wants raw ranges in meters
             scan = np.asarray(d["lasers"], np.float32).reshape(-1)
+            if self.cfg.laser_norm:
+                scan = scan * float(self.cfg.laser_max)
             sm = jnp.asarray(trans_lidar_log_map(scan, length=h),
                              jnp.float32).reshape(1, h, w)
         else:

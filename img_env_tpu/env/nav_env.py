@@ -139,6 +139,10 @@ def build_statics(cfg: EnvConfig) -> EnvStatics:
     res = float(cfg.view_map_resolution)
 
     n, m, o = cfg.robot.total, cfg.ped_sim.total, cfg.object.total
+    if n >= 4096:
+        # the id-packed int16 sensor map carries robot ids <= 4095
+        # (ops/raster.py bit layout; ops/pallas_fill.py self-exclusion)
+        raise ValueError("at most 4095 robots per scene (id-packed map)")
 
     rob_clouds = []
     rob_radius = np.zeros(n, np.float32)
@@ -1125,25 +1129,21 @@ class NavEnv:
         if cfg.sensor_mode == "reference":
             # per-robot gather path (kept for cross-checking; slower);
             # heterogeneous sensor groups render per group and stitch
+            # (__init__ guarantees at least one group)
             outs, order = [], []
-            for g in (self._groups or (None,)):
-                vs = g.view_statics if g is not None else st.view_statics
-                idx = (g.idx if g is not None
-                       else np.arange(n, dtype=np.int32))
-                order.append(idx)
+            for g in self._groups:
+                order.append(g.idx)
                 render = jax.vmap(
-                    lambda pose, rid, vc, vm, vs=vs: render_robot_view(
+                    lambda pose, rid, vc, vm, vs=g.view_statics:
+                    render_robot_view(
                         layers, st.resolution, pose, rid, vc, vm, vs, vp
                     )
                 )
-                ovc = (g.own_view_cells if g is not None
-                       else st.own_view_cells)
-                ovm = (g.own_view_valid if g is not None
-                       else st.own_view_valid)
                 outs.append(render(
-                    state.robots.pose[jnp.asarray(idx)],
-                    rid1[jnp.asarray(idx)],
-                    jnp.asarray(ovc), jnp.asarray(ovm)))
+                    state.robots.pose[jnp.asarray(g.idx)],
+                    rid1[jnp.asarray(g.idx)],
+                    jnp.asarray(g.own_view_cells),
+                    jnp.asarray(g.own_view_valid)))
             inv = jnp.asarray(np.argsort(np.concatenate(order)))
             views = jnp.concatenate([o[0] for o in outs])[inv]
             hits = jnp.concatenate([o[1] for o in outs])[inv]

@@ -95,8 +95,13 @@ class RealRobotBridge:
                          self._on_odom, queue_size=1)
         rospy.Subscriber(robot_name + "/global_goal", t.get("PoseStamped"),
                          self._on_goal, queue_size=1)
-        rospy.Subscriber("/spencer/perception/tracked_persons",
-                         t.get("TrackedPersons"), self._on_peds, queue_size=1)
+        # SPENCER is optional third-party: with real ROS but no
+        # spencer_tracking_msgs, skip the subscription (real rospy rejects
+        # a None data class); fake-rospy tests (t == {}) still wire it
+        if not t or t.get("TrackedPersons") is not None:
+            rospy.Subscriber("/spencer/perception/tracked_persons",
+                             t.get("TrackedPersons"), self._on_peds,
+                             queue_size=1)
         rospy.Subscriber(robot_name + "/laser_image", t.get("Image"),
                          self._on_image, queue_size=1)
 
@@ -140,14 +145,25 @@ class RealRobotBridge:
 
     def _on_image(self, msg) -> None:
         """laser_image topic -> sensor_maps (image_last, real_env.py:233-240).
-        Accepts mono8 (0..255 -> /255) or 32FC1 rows."""
-        data = np.asarray(msg.data)
+        Accepts mono8 (0..255 -> /255) or 32FC1.  Real sensor_msgs/Image
+        carries ``data`` as BYTES — decode by encoding, not by ndarray
+        dtype (a fake in tests may push an ndarray directly)."""
         h = int(msg.height)
         w = int(msg.width)
-        if data.dtype == np.uint8 and data.size == h * w:
-            img = data.reshape(h, w).astype(np.float32) / 255.0
+        enc = getattr(msg, "encoding", "")
+        data = msg.data
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            if enc == "32FC1":
+                img = np.frombuffer(data, np.float32).reshape(h, w)
+            else:                    # mono8 and friends
+                img = np.frombuffer(
+                    data, np.uint8).reshape(h, w).astype(np.float32) / 255.0
         else:
-            img = data.reshape(h, w).astype(np.float32)
+            data = np.asarray(data)
+            if data.dtype == np.uint8:
+                img = data.reshape(h, w).astype(np.float32) / 255.0
+            else:
+                img = data.reshape(h, w).astype(np.float32)
         self.env.feed_image(img)
 
 

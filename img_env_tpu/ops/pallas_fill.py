@@ -261,7 +261,11 @@ def fill_sorted_pallas(ps, packed_map, resolution, poses, t=None,
     h, w = packed_map.shape[-2:]
     n = poses.shape[0]
     nps = n // packed_map.shape[0] if packed_map.ndim == 3 else n
-    if nps >= 4096:
+    # the id-packed int16 map carries robot ids <= 4095.  Explicit rids
+    # (heterogeneous sensor groups) can exceed the GROUP size but are
+    # traced here; the global bound is enforced statically at statics
+    # build time (nav_env.build_statics).
+    if rids is None and nps >= 4096:
         raise ValueError("id-packed int16 map supports at most 4095 robots")
     bm, bn, n_copies = _block_dims(ps, float(resolution))
     bx = (t.pix_x if t is not None else jnp.asarray(ps.pix_x_sorted)).astype(jnp.float32)

@@ -126,6 +126,15 @@ def test_convert_real_barn_world_format(tmp_path):
     assert (grid[:, 2] == barn.OBST).sum() >= 25
 
     pngs = barn.convert_barn_worlds([wf], str(tmp_path))
+    # the written PNG must round-trip the occupancy (not its negation):
+    # cylinder cells dark (<250), free cells bright
+    from PIL import Image
+
+    png = np.asarray(Image.open(pngs[0]).convert("L"))
+    inner = png[1:-1, 1:-1]                     # strip the border wall
+    assert (inner < 250).sum() == (grid == barn.OBST).sum()
+    ij = np.argwhere(grid == barn.OBST)[0]
+    assert inner[ij[0], ij[1]] < 250
     from img_env_tpu.config import EnvConfig
     from img_env_tpu.env.nav_env import NavEnv
 
