@@ -59,6 +59,78 @@ def test_build_world_arrays_padding(tmp_path):
     assert length[2] == 1  # padded slots
 
 
+def test_committed_eth_fixture_end_to_end():
+    """The committed ETH-format fixture (tests/data/eth_world_fixture.csv,
+    the transposed 4-row frame/ped/y/x layout of the reference's
+    world_coordinate_inter_eth.csv, interpolated to 15 fps) drives the
+    ``dataset`` scene through a real env episode.
+
+    Reference: PedTrajectoryDatasetWrapper._read_dataset
+    (evaluation_wrapper/PedTrajectoryDatasetWrapper.py:92-110)."""
+    import os
+
+    from img_env_tpu.config import EnvConfig
+    from img_env_tpu.env.nav_env import NavEnv
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "eth_world_fixture.csv")
+    table = load_trajectory_csv(path)
+    assert table.shape[1] == 4
+    peds = np.unique(table[:, 1].astype(int))
+    np.testing.assert_array_equal(peds, np.arange(1, 7))
+    for pid in peds:  # interpolated layout: consecutive frame ids per ped
+        f = table[table[:, 1].astype(int) == pid, 0].astype(int)
+        np.testing.assert_array_equal(np.diff(f), 1)
+
+    m = 6
+    cfg = PedDatasetConfig(fps=15, control_hz=0.4, swapxy=True,
+                           offset=(5.0, 5.0, 0.0), scale_x=0.7, scale_y=0.7)
+    traj, vel, length = build_world_arrays(table, 0, m, cfg, pad_peds=m)
+
+    # independent check of ped 1's subsampled path straight off the raw csv
+    sel = table[:, 1].astype(int) == 1
+    raw_y, raw_x = table[sel, 2], table[sel, 3]
+    exp_x = raw_y * 0.7 + 5.0     # swapxy: world x <- y column
+    exp_y = raw_x * 0.7 + 5.0
+    # loader duplicates the first row (spawn delay) then subsamples every 6
+    exp_x = np.insert(exp_x, 0, exp_x[0])[::6]
+    exp_y = np.insert(exp_y, 0, exp_y[0])[::6]
+    np.testing.assert_allclose(traj[0, :exp_x.size, 0], exp_x, atol=1e-5)
+    np.testing.assert_allclose(traj[0, :exp_y.size, 1], exp_y, atol=1e-5)
+    assert traj[..., 0].min() > 0.5 and traj[..., 0].max() < 9.5
+    assert traj[..., 1].min() > 0.5 and traj[..., 1].max() < 9.5
+
+    env_cfg = EnvConfig.from_dict({
+        "robot": {
+            "total": 1,
+            "begin_poses_type": ["range"], "begin_poses": [[1.0, 9.0, 1.0, 9.0]],
+            "target_poses_type": ["range"], "target_poses": [[1.0, 9.0, 1.0, 9.0]],
+        },
+        "ped_sim": {
+            "total": m, "type": "dataset", "max_speed": [1.0],
+            "shape": ["circle"], "size": [[0.0, 0.0, 0.17]],
+            "begin_poses_type": ["range"], "begin_poses": [[1.0, 9.0, 1.0, 9.0]],
+            "target_poses_type": ["range"], "target_poses": [[1.0, 9.0, 1.0, 9.0]],
+        },
+        "global_map": {"map_file": "room_10.png", "resolution": 0.1},
+        "view_map": {"resolution": 0.05, "width": 6.0, "height": 6.0},
+        "range_total": 32,
+        "max_ped": m,
+    })
+    env = NavEnv(env_cfg, jit=False)
+    state, obs = env.reset_fn(jax.random.PRNGKey(0),
+                              dataset=(traj, vel, length))
+    np.testing.assert_allclose(np.asarray(state.peds.pos), traj[:, 0],
+                               atol=1e-5)
+    actions = jnp.zeros((1, 3))
+    for k in range(5):
+        state, obs, *_ = env.step_fn(state, actions)
+        np.testing.assert_allclose(np.asarray(state.peds.pos), traj[:, k],
+                                   atol=1e-5)
+    # a real observation surface is produced against the replayed crowd
+    assert np.asarray(obs.ped_maps).max() > 0
+
+
 def test_env_dataset_scene_replays_verbatim(tmp_path):
     from img_env_tpu.config import EnvConfig
     from img_env_tpu.env.nav_env import NavEnv
