@@ -148,7 +148,31 @@ def selfcheck(env, state) -> str:
     return "ok"
 
 
+def _enable_compile_cache() -> None:
+    """Best-effort persistent XLA compilation cache.
+
+    The 200-robot / full-sensor program costs minutes to compile on a fresh
+    process (dominating the 20 timed steps); with the cache, repeat bench
+    runs start in seconds.  Backends that don't support serialized
+    executables simply skip the cache — timing is unaffected either way
+    (compilation happens before the timed loop).
+    """
+    import os
+
+    try:
+        import jax
+
+        d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main() -> None:
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 
