@@ -233,6 +233,21 @@ class EnvConfig:
     start_global_pose: Tuple[float, ...] = (0.0, 0.0, 0.0)
     target_global_pose: Tuple[float, ...] = (0.0, 10.0)
 
+    # --- ETH/UCY trajectory replay (PedTrajectoryDatasetWrapper surface) -----
+    # Reference cfg keys kept verbatim (PedTrajectoryDatasetWrapper.py:92-110):
+    # a csv path enables config-driven dataset replay; worlds are
+    # (start_idx, end_idx) ped-id spans advanced every
+    # ``repeated_time_per_env`` episodes.
+    ped_traj_dataset: str = ""
+    ped_dataset_worlds: Tuple[Tuple[int, int], ...] = ((0, 9),)
+    ped_dataset_swapxy: bool = True
+    ped_dataset_offset: Tuple[float, float, float] = (1.4, 14.4, 0.0)
+    ped_dataset_fps: int = 15
+    ped_dataset_start_t: float = 0.0
+    ped_dataset_max_time: float = 20.0
+    ped_dataset_scale: Tuple[float, float] = (1.0, 1.0)
+    repeated_time_per_env: int = 10
+
     # --- sub-configs ---------------------------------------------------------
     robot: RobotConfig = field(default_factory=RobotConfig)
     object: ObjectConfig = field(default_factory=ObjectConfig)
@@ -350,6 +365,22 @@ class EnvConfig:
             kw["continuous_actions"] = tuple(tuple(a) for a in raw["continuous_actions"])
         if "wrapper" in raw and raw["wrapper"]:
             kw["wrapper"] = tuple(raw["wrapper"])
+        if raw.get("ped_traj_dataset"):
+            # reference key names at the cfg top level
+            # (PedTrajectoryDatasetWrapper._read_dataset)
+            kw["ped_traj_dataset"] = str(raw["ped_traj_dataset"])
+            kw["ped_dataset_swapxy"] = bool(raw.get("swapxy", True))
+            kw["ped_dataset_offset"] = tuple(raw.get("offset", (1.4, 14.4, 0.0)))
+            kw["ped_dataset_fps"] = int(raw.get("fps", 15))
+            kw["ped_dataset_start_t"] = float(raw.get("start_t", 0.0))
+            kw["ped_dataset_max_time"] = float(raw.get("max_time", 20.0))
+            kw["ped_dataset_scale"] = (float(raw.get("scale_x", 1.0)),
+                                       float(raw.get("scale_y", 1.0)))
+            kw["ped_dataset_worlds"] = tuple(
+                tuple(int(v) for v in w)
+                for w in raw.get("ped_dataset_worlds", ((0, 9),)))
+            kw["repeated_time_per_env"] = int(
+                raw.get("repeated_time_per_env", 10))
         kw["map_file"] = gm.get("map_file", "room_10.png")
         kw["global_resolution"] = gm.get("resolution", 0.1)
         kw["view_map_resolution"] = vm.get("resolution", 0.015)

@@ -112,6 +112,46 @@ class ImgNavEnv:
                     seed, max(int(cfg.init_pose_bag_episodes), 1))
                 if name:
                     self.scenario_bank.save(name)
+        # PedTrajectoryDatasetWrapper surface: config-driven ETH/UCY replay.
+        # The csv loads once; every world is prebuilt PADDED TO ONE COMMON
+        # LENGTH so world changes never recompile the jitted reset.  Worlds
+        # advance every ``repeated_time_per_env`` episodes and cycle (the
+        # reference sys.exit()s after the last world,
+        # PedTrajectoryDatasetWrapper.py:49-52).
+        self._dataset_worlds = None
+        self._dataset_episode = 0
+        if cfg.ped_traj_dataset:
+            if self.scenes > 1:
+                raise ValueError(
+                    "ped_traj_dataset replay is single-scene (the reference "
+                    "wrapper drives one env; see PedTrajectoryDatasetWrapper)")
+            from img_env_tpu.datasets.pedestrians import (
+                PedDatasetConfig,
+                build_world_arrays,
+                load_trajectory_csv,
+            )
+
+            table = load_trajectory_csv(cfg.ped_traj_dataset)
+            dcfg = PedDatasetConfig(
+                swapxy=cfg.ped_dataset_swapxy,
+                offset=tuple(cfg.ped_dataset_offset),
+                fps=int(cfg.ped_dataset_fps),
+                control_hz=float(cfg.control_hz),
+                start_t=float(cfg.ped_dataset_start_t),
+                max_time=float(cfg.ped_dataset_max_time),
+                scale_x=float(cfg.ped_dataset_scale[0]),
+                scale_y=float(cfg.ped_dataset_scale[1]),
+            )
+            spans = [(int(s), int(e)) for s, e in cfg.ped_dataset_worlds]
+            raw = [build_world_arrays(table, s, e - s + 1, dcfg,
+                                      pad_peds=cfg.ped_sim.total)
+                   for s, e in spans]
+            tmax = max(a[0].shape[1] for a in raw)
+            self._dataset_worlds = [
+                build_world_arrays(table, s, e - s + 1, dcfg,
+                                   pad_peds=cfg.ped_sim.total, pad_time=tmax)
+                for s, e in spans
+            ]
 
     @staticmethod
     def _pick_filter(cfg: EnvConfig):
@@ -150,7 +190,14 @@ class ImgNavEnv:
                 self._episode_idx += 1
             else:
                 key = self._next_key()
-        self._state, obs = self.core.reset(key, carry)
+        if self._dataset_worlds is not None:
+            per = max(int(self.cfg.repeated_time_per_env), 1)
+            wi = (self._dataset_episode // per) % len(self._dataset_worlds)
+            self._dataset_episode += 1
+            self._state, obs = self.core.reset(
+                key, carry, dataset=self._dataset_worlds[wi])
+        else:
+            self._state, obs = self.core.reset(key, carry)
         self.last_raw_obs = obs   # unfiltered Observation (policy consumers)
         if self._ws is None:
             self._ws = self.stack.init_state()

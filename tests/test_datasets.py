@@ -131,6 +131,72 @@ def test_committed_eth_fixture_end_to_end():
     assert np.asarray(obs.ped_maps).max() > 0
 
 
+def test_config_driven_dataset_replay():
+    """The reference's yaml surface drives ETH/UCY replay directly:
+    ``ped_traj_dataset`` + the wrapper's cfg keys (swapxy/offset/fps/
+    scale_x/scale_y/ped_dataset_worlds/repeated_time_per_env) build the
+    env and advance worlds across resets — no manual loader calls
+    (PedTrajectoryDatasetWrapper.py:16-56)."""
+    import os
+
+    from img_env_tpu.env.gymapi import make_env
+    from img_env_tpu.datasets.pedestrians import (
+        PedDatasetConfig, build_world_arrays)
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "eth_world_fixture.csv")
+    d = {
+        "env_type": "robot_nav",
+        "ped_traj_dataset": path,
+        "swapxy": True,
+        "offset": [5.0, 5.0, 0.0],
+        "scale_x": 0.7, "scale_y": 0.7,
+        "fps": 15,
+        "ped_dataset_worlds": [[0, 2], [3, 5]],   # peds 1-3, then 4-6
+        "repeated_time_per_env": 1,               # advance world each reset
+        # fixed robot pose away from the ped paths: the default wrapper
+        # stack includes NeverStop, whose auto-reset on a spawn collision
+        # would advance the dataset world mid-test
+        "robot": {
+            "total": 1,
+            "begin_poses_type": ["fix"], "begin_poses": [[0.8, 0.8, 0.0]],
+            "target_poses_type": ["fix"], "target_poses": [[9.2, 0.8]],
+        },
+        "ped_sim": {
+            "total": 3, "type": "dataset", "max_speed": [1.0],
+            "shape": ["circle"], "size": [[0.0, 0.0, 0.17]],
+            "begin_poses_type": ["range"], "begin_poses": [[1.0, 9.0, 1.0, 9.0]],
+            "target_poses_type": ["range"], "target_poses": [[1.0, 9.0, 1.0, 9.0]],
+        },
+        "global_map": {"map_file": "room_10.png", "resolution": 0.1},
+        "view_map": {"resolution": 0.05, "width": 6.0, "height": 6.0},
+        "range_total": 32,
+        "max_ped": 3,
+    }
+    env = make_env(d, seed=0)
+
+    # expected worlds straight from the loader
+    table = load_trajectory_csv(path)
+    dcfg = PedDatasetConfig(fps=15, control_hz=0.4, swapxy=True,
+                            offset=(5.0, 5.0, 0.0), scale_x=0.7, scale_y=0.7)
+    w0 = build_world_arrays(table, 0, 3, dcfg, pad_peds=3)
+    w1 = build_world_arrays(table, 3, 3, dcfg, pad_peds=3)
+
+    env.reset()
+    np.testing.assert_allclose(np.asarray(env._state.peds.pos),
+                               w0[0][:, 0], atol=1e-5)
+    env.step(np.zeros((1, 2)))   # step 0 replays column 0 (img_env.cpp:361-386)
+    env.step(np.zeros((1, 2)))
+    np.testing.assert_allclose(np.asarray(env._state.peds.pos),
+                               w0[0][:, 1], atol=1e-5)
+    env.reset()   # second episode -> second world
+    np.testing.assert_allclose(np.asarray(env._state.peds.pos),
+                               w1[0][:, 0], atol=1e-5)
+    env.reset()   # cycles back to world 0
+    np.testing.assert_allclose(np.asarray(env._state.peds.pos),
+                               w0[0][:, 0], atol=1e-5)
+
+
 def test_env_dataset_scene_replays_verbatim(tmp_path):
     from img_env_tpu.config import EnvConfig
     from img_env_tpu.env.nav_env import NavEnv
