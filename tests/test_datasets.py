@@ -154,13 +154,14 @@ def test_config_driven_dataset_replay():
         "fps": 15,
         "ped_dataset_worlds": [[0, 2], [3, 5]],   # peds 1-3, then 4-6
         "repeated_time_per_env": 1,               # advance world each reset
-        # fixed robot pose away from the ped paths: the default wrapper
+        # fixed robot pose away from the ped paths AND clear of the walls
+        # (room_10's free interior is [1.05, 9.9] m): the default wrapper
         # stack includes NeverStop, whose auto-reset on a spawn collision
         # would advance the dataset world mid-test
         "robot": {
             "total": 1,
-            "begin_poses_type": ["fix"], "begin_poses": [[0.8, 0.8, 0.0]],
-            "target_poses_type": ["fix"], "target_poses": [[9.2, 0.8]],
+            "begin_poses_type": ["fix"], "begin_poses": [[1.6, 1.6, 0.0]],
+            "target_poses_type": ["fix"], "target_poses": [[9.2, 1.6]],
         },
         "ped_sim": {
             "total": 3, "type": "dataset", "max_speed": [1.0],
