@@ -12,6 +12,7 @@ from benchmarks.timing import fetch_ms, rtt_ms
 
 def main():
     import bench
+    bench._enable_compile_cache()   # cold-process runs otherwise recompile for minutes
     from img_env_tpu.env.nav_env import NavEnv
     from img_env_tpu.ops import polar, raster
     from img_env_tpu.ops import pallas_fill

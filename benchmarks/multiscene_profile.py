@@ -29,6 +29,7 @@ def main():
     args = ap.parse_args()
 
     import bench
+    bench._enable_compile_cache()   # cold-process runs otherwise recompile for minutes
     from img_env_tpu.parallel.batched_env import BatchedNavEnv
     from img_env_tpu.mpc.controller import MpcController
     from img_env_tpu.mpc.mppi import MppiConfig

@@ -19,6 +19,7 @@ def main():
     import jax
 
     import bench
+    bench._enable_compile_cache()   # cold-process runs otherwise recompile for minutes
     from img_env_tpu.env.nav_env import NavEnv
     from img_env_tpu.mpc.controller import MpcController
     from img_env_tpu.mpc.mppi import MppiConfig

@@ -57,6 +57,7 @@ def prof(name, jitfn, make_args, extra_bytes=0.0, extra_flops=0.0):
 
 def main():
     import bench
+    bench._enable_compile_cache()   # cold-process runs otherwise recompile for minutes
     from img_env_tpu.env.nav_env import NavEnv
     from img_env_tpu.mpc.controller import MpcController
     from img_env_tpu.mpc.mppi import MppiConfig
