@@ -388,6 +388,13 @@ class EnvConfig:
         kw["robot"] = RobotConfig.from_dict(raw.get("robot", {}) or {})
         kw["object"] = ObjectConfig.from_dict(raw.get("object"))
         ped_raw = dict(raw.get("ped_sim", {}) or {})
+        if kw.get("ped_traj_dataset"):
+            # the reference sets ped_sim.total from the active world's span
+            # (PedTrajectoryDatasetWrapper.py:28); static shapes here mean
+            # padding to the LARGEST world, so every world's peds fit
+            max_span = max(int(e) - int(s) + 1
+                           for s, e in kw["ped_dataset_worlds"])
+            ped_raw["total"] = max(int(ped_raw.get("total", 0)), max_span)
         kw["ped_sim"] = PedSimConfig.from_dict(ped_raw)
         kw["speed_limiter_v"] = SpeedLimiterConfig.from_dict(raw.get("speed_limiter_v"), 0.0, 0.6)
         kw["speed_limiter_w"] = SpeedLimiterConfig.from_dict(raw.get("speed_limiter_w"), -0.9, 0.9)

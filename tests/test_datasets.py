@@ -198,6 +198,31 @@ def test_config_driven_dataset_replay():
                                w0[0][:, 0], atol=1e-5)
 
 
+def test_dataset_world_span_raises_ped_total():
+    """The reference sets ped_sim.total from the active world's ped span
+    (PedTrajectoryDatasetWrapper.py:28); with static shapes we pad to the
+    LARGEST world so no world's peds are silently truncated."""
+    import os
+
+    from img_env_tpu.config import EnvConfig
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "eth_world_fixture.csv")
+    cfg = EnvConfig.from_dict({
+        "ped_traj_dataset": path,
+        "ped_dataset_worlds": [[0, 1], [2, 5]],   # spans 2 and 4
+        "ped_sim": {"total": 3, "type": "dataset", "max_speed": [1.0],
+                    "shape": ["circle"], "size": [[0.0, 0.0, 0.17]],
+                    "begin_poses_type": ["range"],
+                    "begin_poses": [[1.0, 9.0, 1.0, 9.0]],
+                    "target_poses_type": ["range"],
+                    "target_poses": [[1.0, 9.0, 1.0, 9.0]]},
+    })
+    assert cfg.ped_sim.total == 4          # raised to the largest span
+    # per-ped lists padded to match
+    assert len(cfg.ped_sim.max_speed) == 4
+
+
 def test_env_dataset_scene_replays_verbatim(tmp_path):
     from img_env_tpu.config import EnvConfig
     from img_env_tpu.env.nav_env import NavEnv
