@@ -24,7 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cfg", nargs="?", default="img_env_tpu/configs/test.yaml")
     ap.add_argument("--episodes", type=int, default=10)
-    ap.add_argument("--max-steps", type=int, default=120)
+    ap.add_argument("--max-steps", type=int, default=0,
+                    help="0 = cfg.time_max + 1 (the TimeLimitWrapper step)")
     ap.add_argument("--policy", choices=("random", "mpc", "ckpt"),
                     default="mpc")
     ap.add_argument("--ckpt", default="",
@@ -37,8 +38,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--batch", action="store_true",
                     help="all episodes as parallel scenes (one flat program"
-                         "; ~20x faster through the tunnel; outcome metrics"
-                         " only — smoothness needs the sequential path)")
+                         "; ~20x faster through the tunnel).  This is the "
+                         "TRUSTED evaluator — bit-identical outcomes to the "
+                         "sequential loop (tests/test_eval_parity.py); "
+                         "per-step smoothness (jerk/w-variance) still needs "
+                         "the sequential path")
     args = ap.parse_args()
 
     if args.cpu:
@@ -63,6 +67,15 @@ def main():
         if args.bank and not os.path.exists(args.bank):
             bank.save(args.bank)
         n_scenes = min(args.episodes, len(bank.keys))
+        if args.policy == "mpc":
+            from img_env_tpu.mpc import MppiConfig
+
+            summary, dones = evaluate_batched(
+                cfg, None, args.episodes, args.max_steps or None, bank=bank,
+                mpc=MppiConfig(horizon=8, samples=64))
+            for k, v in summary.items():
+                print(f"  {k:22s} {v}")
+            return
         if args.policy == "ckpt":
             from img_env_tpu.models.policy import load_ckpt_policy
 
@@ -86,7 +99,7 @@ def main():
                     [0.0, -0.9], [0.6, 0.9],
                     (s, cfg.robot.total, 2))
         summary, dones = evaluate_batched(
-            cfg, policy, args.episodes, args.max_steps, bank=bank)
+            cfg, policy, args.episodes, args.max_steps or None, bank=bank)
         for k, v in summary.items():
             print(f"  {k:22s} {v}")
         return
@@ -116,11 +129,12 @@ def main():
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
+    max_steps = args.max_steps or int(env.cfg.time_max) + 1
     t0 = time.perf_counter()
     for ep in range(args.episodes):
         obs = env.reset(carry=False)
         ms = ctl.init_state() if ctl else None
-        for step in range(args.max_steps):
+        for step in range(max_steps):
             if ctl is not None:
                 key, k = jax.random.split(key)
                 actions, ms, _ = ctl.act(k, env._state, ms)
