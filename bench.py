@@ -227,12 +227,39 @@ def main() -> None:
     solves = ITERS * N_ROBOTS
     rollouts = solves * MPPI_SAMPLES
     rps = rollouts / dt
-    print(json.dumps({
+    ms_step = dt / ITERS * 1e3
+
+    # Hardware-utilization: XLA cost analysis of the timed control step +
+    # the Pallas-side traffic XLA cannot count, against the v5e roofline
+    # (819 GB/s HBM, 197 bf16 TFLOP/s) — "how far from speed of light",
+    # not just "how much faster than a CPU".
+    rl = {}
+    try:
+        from benchmarks.roofline import (pallas_extra_traffic, roofline_row,
+                                         xla_cost)
+
+        flops, bts = xla_cost(
+            control_step, (key, state, mpc_state, tables))
+        if flops or bts:
+            eb, ef = pallas_extra_traffic(env, state)
+            rl = roofline_row(ms_step, flops + ef, bts + eb)
+    except Exception as e:  # roofline is informational, never breaks bench
+        print(f"# roofline failed: {e}", file=sys.stderr)
+
+    out = {
         "metric": "mpc_rollouts_per_sec_per_chip_200robot_200obs_full_sensors",
         "value": round(rps, 1),
         "unit": "rollouts/s",
         "vs_baseline": round(rps / TARGET_ROLLOUTS_PER_SEC, 3),
-    }))
+    }
+    if rl:
+        out.update(
+            ms_per_step=round(ms_step, 2),
+            roofline_light_ms=round(rl["light_ms"], 2),
+            roofline_util_pct=round(rl["util_pct"], 1),
+            roofline_bound=rl["bound"],
+        )
+    print(json.dumps(out))
     print(
         f"# detail: {ITERS} control steps, {N_ROBOTS} robots, "
         f"K={MPPI_SAMPLES} H={MPPI_HORIZON}, 400x400 views + 960-beam "

@@ -17,21 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 
 from benchmarks.timing import fetch_ms, rtt_ms
-
-# v5e per-chip peaks (public spec: 197 bf16 TFLOP/s, 819 GB/s HBM)
-PEAK_BW_GBS = 819.0
-PEAK_TFLOPS = 197.0
-
-
-def xla_cost(jitfn, args):
-    """(flops, bytes accessed) of the compiled program, from XLA."""
-    try:
-        c = jitfn.lower(*args).compile().cost_analysis()
-        if isinstance(c, (list, tuple)):
-            c = c[0]
-        return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
-    except Exception:
-        return 0.0, 0.0
+from benchmarks.roofline import PEAK_BW_GBS, PEAK_TFLOPS, xla_cost
 
 
 def prof(name, jitfn, make_args, extra_bytes=0.0, extra_flops=0.0):
@@ -81,7 +67,10 @@ def main():
           f"stream estimates; VPU-bound stages look artificially far from "
           f"'light')")
 
-    # Pallas-side traffic XLA cannot count --------------------------------
+    # Pallas-side traffic XLA cannot count (shared with bench.py's
+    # headline roofline field) -------------------------------------------
+    from benchmarks.roofline import pallas_extra_traffic
+
     fw = int(ps.fill_window)
     bm_k, bn_k, n_cp = pallas_fill._block_dims(ps, float(st.resolution))
     nf = int(ps.n_fill_slots)
@@ -92,35 +81,9 @@ def main():
                         + n_rob * wins * fw * 4      # out
                         + map_h * map_w * 2)         # packed map, once
     fill_extra_flops = n_rob * wins * 2.0 * bm_k * bn_k * fw  # one-hot dots
-
-    paint_extra_bytes = paint_extra_flops = 0.0
-    if env.paint_ks is not None:
-        from img_env_tpu.ops.pallas_paint import NR as PAINT_NR
-
-        ks_p = env.paint_ks
-        tbl_bytes = sum(cl.sstep.nbytes for cl in ks_p.classes)
-        chunks = (n_rob + PAINT_NR - 1) // PAINT_NR
-        paint_extra_bytes = (chunks * tbl_bytes             # tables/chunk
-                             + n_rob * ks_p.n_slots * 4     # acc out
-                             + chunks * ks_p.r_pad * PAINT_NR * 8)
-        ent = sum(cl.sstep.shape[0] * cl.w for cl in ks_p.classes) * 128
-        # per robot: 2 one-hot dots/block-pair (MXU) + the compare chain
-        # (VPU; counted as flops so the row is not absurdly 'light')
-        paint_extra_flops = n_rob * ent * (2.0 * PAINT_NR + 6.0)
-    elif env.paint_kst is not None:
-        from img_env_tpu.ops.pallas_paint_t import G8, NRT
-
-        ks_t = env.paint_kst
-        n_pad_t = (n_rob + NRT - 1) // NRT * NRT
-        nch_t = n_pad_t // NRT
-        tbl_bytes = sum(cl.ta.nbytes + cl.tb.nbytes for cl in ks_t.classes)
-        rows = sum(cl.ta.shape[0] for cl in ks_t.classes)
-        paint_extra_bytes = (nch_t * tbl_bytes              # tables/chunk
-                             + rows * G8 * n_pad_t * 4      # class outs
-                             + nch_t * ks_t.r_pad * NRT * 8)  # thresholds
-        ent = sum(cl.ta.shape[0] * G8 * cl.w for cl in ks_t.classes)
-        # ~9 VPU ops per (window entry, robot): compare chain + key max
-        paint_extra_flops = n_pad_t * ent * 9.0
+    tot_extra_bytes, tot_extra_flops = pallas_extra_traffic(env, state)
+    paint_extra_bytes = tot_extra_bytes - fill_extra_bytes
+    paint_extra_flops = tot_extra_flops - fill_extra_flops
 
     def jitter(i):
         return base_pose.at[:, 2].add(0.001 * i)
