@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--batched", action="store_true",
                     help="all worlds as ONE compiled program (padded maps "
                          "on the scene axis; eval/barn.run_barn_suite_batched)")
+    ap.add_argument("--mpc", action="store_true",
+                    help="drive the MPPI controller instead of the "
+                         "straight-at-goal baseline (batched mode only)")
+    ap.add_argument("--chunk", type=int, default=100,
+                    help="worlds per compiled program in batched mode "
+                         "(equal chunks reuse one executable; 0 = all)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -73,9 +79,22 @@ def main() -> None:
             w = np.clip(np.arctan2(vec[..., 1], vec[..., 0]), -0.9, 0.9)
             return np.stack([np.full_like(w, 0.5), w], axis=-1)
 
+        mpc_cfg = mpc_w8 = None
+        if args.mpc:
+            from img_env_tpu.mpc import MppiConfig
+            from img_env_tpu.mpc.cost import CostWeights
+
+            # corridor profile: geodesic goal field (global guidance — the
+            # move_base global plan of the reference's BARN runs) + a
+            # narrower static-safety band so sub-metre BARN passages are
+            # traversable rather than cost-prohibitive
+            mpc_cfg = MppiConfig(horizon=8, samples=64, goal_field=True)
+            mpc_w8 = CostWeights(goal=6.0, terminal_goal=30.0,
+                                 clearance=15.0, safety_dist=0.25)
         rows = run_barn_suite_batched(
             worlds, cfg, policy_b, episodes_per_world=args.episodes,
-            max_steps=args.max_steps,
+            max_steps=args.max_steps, mpc=mpc_cfg, mpc_weights=mpc_w8,
+            chunk=args.chunk,
             output_csv=os.path.join(args.out, "barn_worlds.csv"))
     else:
         rows = run_barn_suite(

@@ -105,11 +105,14 @@ def run_barn_suite(
 def run_barn_suite_batched(
     world_files: Sequence[str],
     base_cfg,
-    policy_fn: Callable,            # (key, obs) -> actions [S, N, >=2]
+    policy_fn: Optional[Callable] = None,  # (key, obs) -> actions [S, N, >=2]
     episodes_per_world: int = 3,
     max_steps: int = 200,
     output_csv: Optional[str] = None,
     seed: int = 0,
+    mpc=None,                       # MppiConfig -> drive the MPC controller
+    mpc_weights=None,               # CostWeights override (corridor tuning)
+    chunk: int = 0,                 # >0: worlds per compiled program
 ) -> List[dict]:
     """All worlds step as ONE compiled program (heterogeneous scene
     batching): the world maps are padded to a common shape (pad cells =
@@ -124,6 +127,25 @@ def run_barn_suite_batched(
 
     from img_env_tpu.env import maps as maps_mod
     from img_env_tpu.parallel.batched_env import BatchedNavEnv
+
+    if chunk and len(world_files) > chunk:
+        # protocol-scale runs (the reference's 300 BARN worlds,
+        # BarnDataSetWrapper.py:32) in fixed-size compiled programs: equal
+        # chunk shapes reuse one executable across all chunks
+        rows: List[dict] = []
+        for c0 in range(0, len(world_files), chunk):
+            rows += run_barn_suite_batched(
+                world_files[c0:c0 + chunk], base_cfg, policy_fn,
+                episodes_per_world, max_steps, None, seed + c0, mpc=mpc,
+                mpc_weights=mpc_weights)
+        if output_csv and rows:
+            os.makedirs(os.path.dirname(os.path.abspath(output_csv)),
+                        exist_ok=True)
+            with open(output_csv, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+                w.writeheader()
+                w.writerows(rows)
+        return rows
 
     s = len(world_files)
     cfg = base_cfg.replace(
@@ -147,6 +169,21 @@ def run_barn_suite_batched(
     maps_j = jnp.asarray(maps)
     states, obs = env.reset(jax.random.split(k0, s), static_maps=maps_j)
 
+    ctl = None
+    if mpc is not None:
+        from img_env_tpu.mpc.controller import MpcController
+
+        ctl = MpcController(env.core, mpc, weights=mpc_weights)
+        ms0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (s,) + x.shape), ctl.init_state())
+        mss = ms0
+
+        @jax.jit
+        def mpc_act(key, states, mss):
+            kk = jax.random.split(key, s)
+            actions, mss, _ = jax.vmap(ctl.act_fn)(kk, states, mss)
+            return actions, mss
+
     t0 = time.perf_counter()
     ep_done = np.zeros(s, np.int64)
     arrive = np.zeros(s, np.int64)
@@ -158,7 +195,10 @@ def run_barn_suite_batched(
     while (ep_done < episodes_per_world).any() and steps < (
             max_steps * episodes_per_world * 2):
         key, k = jax.random.split(key)
-        actions = jnp.asarray(policy_fn(k, obs))
+        if ctl is not None:
+            actions, mss = mpc_act(k, states, mss)
+        else:
+            actions = jnp.asarray(policy_fn(k, obs))
         if actions.shape[-1] < 3:
             actions = jnp.concatenate(
                 [actions, jnp.zeros(actions.shape[:-1] + (1,))], -1)
@@ -187,6 +227,8 @@ def run_barn_suite_batched(
                 m.reshape((s,) + (1,) * (new.ndim - 1)), new, old)
             states = jax.tree_util.tree_map(pick, rstates, states)
             obs = jax.tree_util.tree_map(pick, robs, obs)
+            if ctl is not None:   # fresh MPC warm-start for re-drawn worlds
+                mss = jax.tree_util.tree_map(pick, ms0, mss)
             elapsed[fin] = 0
     wall = time.perf_counter() - t0
 

@@ -46,6 +46,13 @@ class MppiConfig(NamedTuple):
                                      # no min-pooled EDT patch — every
                                      # lookup exact (the parity mode for
                                      # tests/test_mpc_approximations.py)
+    goal_field: bool = False         # goal term follows a per-robot
+                                     # geodesic distance-to-goal field
+                                     # (cost.geodesic_field) instead of
+                                     # straight-line distance: global
+                                     # guidance for maze/cave worlds
+                                     # (BARN), where Euclidean goal pull
+                                     # dead-ends in concave pockets
 
 
 class PlannerState(NamedTuple):
@@ -195,7 +202,13 @@ def batched_mppi(
 
     # local EDT patch per robot: rollouts reach at most v_max*H*dt from the
     # start, so one dynamic_slice serves every static lookup of the solve
-    from img_env_tpu.mpc.cost import local_edt_patch
+    from img_env_tpu.mpc.cost import geodesic_field, local_edt_patch
+
+    # per-robot geodesic goal fields (global guidance; one wavefront per
+    # robot per solve — a few fused elementwise passes over the map)
+    gfs = (jax.vmap(lambda g: geodesic_field(
+        wc.edt, float(wc.resolution), g, wc.robot_radius))(goals)
+        if cfg.goal_field else jnp.zeros((n, 0, 0)))
 
     vmax = max(abs(cfg.v_range[0]), abs(cfg.v_range[1]))
     reach_cells = int(np.ceil(vmax * cfg.horizon * dt
@@ -204,7 +217,8 @@ def batched_mppi(
     # min-pool fine-resolution EDTs down to a ~96-wide select (conservative)
     pool = max(1, patch_size // 96)
 
-    def one(i, key, nom, pose, a0, a1, goal, nbr):
+    def one(i, key, nom, pose, a0, a1, goal, nbr, gf):
+        wc_i = wc._replace(goal_field=gf) if cfg.goal_field else wc
         local_edt = (None if cfg.exact_cost else
                      (*local_edt_patch(wc, pose[:2], patch_size, pool), pool))
         if robot_traj is not None:
@@ -220,11 +234,11 @@ def batched_mppi(
         else:
             avoid_traj, avoid_r = ped_traj, ped_r
         act, st, c = mppi_plan(
-            key, PlannerState(nom), pose, a0, a1, goal, wc,
+            key, PlannerState(nom), pose, a0, a1, goal, wc_i,
             limiter_v, limiter_w, avoid_traj, avoid_r, cfg, w8, dt, omni,
             local_edt=local_edt,
         )
         return act, st.nominal, c
 
     return jax.vmap(one)(jnp.arange(n), keys, ps_nominal, poses, vw0, vw1,
-                         goals, near_idx)
+                         goals, near_idx, gfs)
