@@ -102,7 +102,26 @@ def static_distance_smooth(wc: WorldCost, xy: jnp.ndarray) -> jnp.ndarray:
     return a
 
 
-def local_edt_patch(wc: WorldCost, pose_xy, patch_size: int, pool: int = 1):
+def pooled_edt(edt, pool: int):
+    """min-pool the full EDT once per solve (pool-aligned blocks).
+
+    ``local_edt_patch`` used to dynamic-slice a FINE [PS, PS] window per
+    robot and pool it afterwards — under the (scene, robot) vmap those
+    slices become gathers that re-stream the whole [1066, 1066] per-scene
+    EDT several times (~72 MB/scene per solve in the XLA cost analysis;
+    the multi-scene act tax of benchmarks/README.md round 5).  Corners are
+    pool-aligned by construction, so pool-then-slice is BIT-IDENTICAL to
+    slice-then-pool — one full-map pass instead of many."""
+    if pool <= 1:
+        return edt
+    h, w = edt.shape
+    hp, wp = h // pool * pool, w // pool * pool
+    return edt[:hp, :wp].reshape(hp // pool, pool,
+                                 wp // pool, pool).min((1, 3))
+
+
+def local_edt_patch(wc: WorldCost, pose_xy, patch_size: int, pool: int = 1,
+                    edt_pooled=None):
     """One min-pooled window of ``wc.edt`` centred on the robot's cell.
 
     MPPI rollout positions stay within ``v_max * H * dt`` of the start, so a
@@ -116,6 +135,9 @@ def local_edt_patch(wc: WorldCost, pose_xy, patch_size: int, pool: int = 1):
     the true cell value), shrinking the one-hot selects ``pool^2``-fold.
     The MPC cost is a heuristic — no reference parity surface — so the
     deliberate bias toward caution is free performance.
+    Pass ``edt_pooled=pooled_edt(wc.edt, pool)`` (computed ONCE per solve)
+    to slice the pooled map directly — bit-identical values, pool^2 less
+    per-robot gather traffic.
     Returns (patch [PS/pool, PS/pool], corner [2] int32 in fine cells).
     """
     h, w = wc.edt.shape
@@ -123,9 +145,16 @@ def local_edt_patch(wc: WorldCost, pose_xy, patch_size: int, pool: int = 1):
     ps_w = min((patch_size + pool - 1) // pool * pool, w // pool * pool)
     cell = jnp.round(pose_xy / wc.resolution).astype(jnp.int32)
     corner = jnp.stack([
-        jnp.clip((cell[0] - ps_h // 2) // pool * pool, 0, h - ps_h),
-        jnp.clip((cell[1] - ps_w // 2) // pool * pool, 0, w - ps_w),
+        jnp.clip((cell[0] - ps_h // 2) // pool * pool, 0,
+                 (h - ps_h) // pool * pool),
+        jnp.clip((cell[1] - ps_w // 2) // pool * pool, 0,
+                 (w - ps_w) // pool * pool),
     ])
+    if edt_pooled is not None and pool > 1:
+        patch = jax.lax.dynamic_slice(
+            edt_pooled, (corner[0] // pool, corner[1] // pool),
+            (ps_h // pool, ps_w // pool))
+        return patch, corner
     patch = jax.lax.dynamic_slice(wc.edt, (corner[0], corner[1]),
                                   (ps_h, ps_w))
     if pool > 1:

@@ -202,7 +202,8 @@ def batched_mppi(
 
     # local EDT patch per robot: rollouts reach at most v_max*H*dt from the
     # start, so one dynamic_slice serves every static lookup of the solve
-    from img_env_tpu.mpc.cost import geodesic_field, local_edt_patch
+    from img_env_tpu.mpc.cost import (geodesic_field, local_edt_patch,
+                                      pooled_edt)
 
     # per-robot geodesic goal fields (global guidance; one wavefront per
     # robot per solve — a few fused elementwise passes over the map)
@@ -216,11 +217,15 @@ def batched_mppi(
     patch_size = (2 * reach_cells + 2 + 7) // 8 * 8
     # min-pool fine-resolution EDTs down to a ~96-wide select (conservative)
     pool = max(1, patch_size // 96)
+    # pool the EDT ONCE per solve; per-robot slices read the pooled map
+    # (bit-identical values, pool^2 less gather traffic under vmap)
+    edt_p = None if cfg.exact_cost else pooled_edt(wc.edt, pool)
 
     def one(i, key, nom, pose, a0, a1, goal, nbr, gf):
         wc_i = wc._replace(goal_field=gf) if cfg.goal_field else wc
         local_edt = (None if cfg.exact_cost else
-                     (*local_edt_patch(wc, pose[:2], patch_size, pool), pool))
+                     (*local_edt_patch(wc, pose[:2], patch_size, pool,
+                                       edt_pooled=edt_p), pool))
         if robot_traj is not None:
             if nbr.shape[0] > 0:
                 others = robot_traj[:, nbr, :]                  # [H,k,2]

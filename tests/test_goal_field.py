@@ -93,3 +93,25 @@ def test_goal_distance_lookup_and_fallback():
     wc0 = wc._replace(goal_field=None)
     d0 = np.asarray(goal_distance(wc0, xy, goal))
     np.testing.assert_allclose(d0, [0.5, 0.5], atol=1e-6)
+
+
+def test_pooled_edt_patch_bitmatch():
+    """pool-then-slice (pooled_edt path) == slice-then-pool, bit for bit —
+    the corners are pool-aligned by construction."""
+    import jax
+
+    from img_env_tpu.mpc.cost import local_edt_patch, pooled_edt
+
+    rng = np.random.default_rng(3)
+    edt = jnp.asarray(rng.random((200, 212)).astype(np.float32))
+    wc = WorldCost(edt=edt, resolution=RES, obs_aabb=jnp.zeros((0, 4)),
+                   obs_valid=jnp.zeros((0,), bool), robot_radius=0.1)
+    pool, ps = 4, 64
+    ep = pooled_edt(edt, pool)
+    for xy in ([1.0, 1.0], [0.05, 0.05], [19.9, 21.1], [10.0, 0.2]):
+        pa, ca = jax.jit(lambda p: local_edt_patch(wc, p, ps, pool))(
+            jnp.asarray(xy))
+        pb, cb = jax.jit(lambda p: local_edt_patch(
+            wc, p, ps, pool, edt_pooled=ep))(jnp.asarray(xy))
+        np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
