@@ -259,6 +259,49 @@ def main() -> None:
             roofline_util_pct=round(rl["util_pct"], 1),
             roofline_bound=rl["bound"],
         )
+
+    # scan-mode: the SAME control step iterated on-device via lax.scan —
+    # zero per-step host dispatch, exactly how the PPO unroll consumes the
+    # env (train/ppo.py).  The step-loop headline above additionally pays
+    # the axon tunnel's per-execute latency; this line is the device rate.
+    try:
+        @jax.jit
+        def control_scan(key, state, mpc_state, tables):
+            def body(carry, _):
+                key, state, mpc_state = carry
+                k_plan, k_next = jax.random.split(key)
+                actions, mpc_state, costs = ctl.act_fn(
+                    k_plan, state, mpc_state)
+                state, obs, *_ = env.step_fn(state, actions, tables)
+                chk = (obs.sensor_maps.sum() + obs.lasers.sum()
+                       + obs.vector_states.sum())
+                return (k_next, state, mpc_state), chk
+            carry, chks = jax.lax.scan(
+                body, (key, state, mpc_state), None, length=ITERS)
+            return carry, chks.sum()
+
+        (key, state, mpc_state), chk = control_scan(
+            key, state, mpc_state, tables)
+        jax.block_until_ready(chk)
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            (key, state, mpc_state), chk = control_scan(
+                key, state, mpc_state, tables)
+        jax.block_until_ready(chk)
+        ms_scan = (time.perf_counter() - t0) / (reps * ITERS) * 1e3
+        rps_scan = N_ROBOTS * MPPI_SAMPLES / ms_scan * 1e3
+        out.update(ms_per_step_scan=round(ms_scan, 2),
+                   value_scan=round(rps_scan, 1))
+        if rl:
+            out["roofline_util_scan_pct"] = round(
+                100.0 * rl["light_ms"] / ms_scan, 1)
+        print(f"# scan-mode (on-device loop, no per-step dispatch): "
+              f"{ms_scan:.2f} ms/step, {rps_scan:.0f} rollouts/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# scan-mode failed: {e}", file=sys.stderr)
+
     print(json.dumps(out))
     print(
         f"# detail: {ITERS} control steps, {N_ROBOTS} robots, "
