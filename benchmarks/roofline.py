@@ -26,10 +26,12 @@ def xla_cost(jitfn, args):
         return 0.0, 0.0
 
 
-def pallas_extra_traffic(env, state):
-    """(extra_bytes, extra_flops) per step that XLA's counter cannot see:
-    the fill kernel's re-streamed pixel tables + one-hot dot MACs, and the
-    active painter kernel's VMEM-resident tables / outputs."""
+def pallas_traffic_components(env, state):
+    """Per-step traffic XLA's counter cannot see, split by kernel:
+    ((fill_bytes, fill_flops), (paint_bytes, paint_flops)) — the fill
+    kernel's re-streamed pixel tables + one-hot dot MACs, and the active
+    painter kernel's VMEM-resident tables / outputs.  Single source of
+    truth for both bench.py's aggregate and step_profile.py's stages."""
     from img_env_tpu.ops import pallas_fill
 
     st = env.statics
@@ -42,22 +44,23 @@ def pallas_extra_traffic(env, state):
     wins = ((nf + fw * pallas_fill.WIN_PER_STEP - 1)
             // (fw * pallas_fill.WIN_PER_STEP)) * pallas_fill.WIN_PER_STEP
     map_h, map_w = state.obs_map.shape
-    extra_bytes = (n_rob * wins * fw * 8        # pix tables re-stream
-                   + n_rob * wins * fw * 4      # out
-                   + map_h * map_w * 2)         # packed map, once
-    extra_flops = n_rob * wins * 2.0 * bm_k * bn_k * fw  # one-hot dots
+    fill_bytes = (n_rob * wins * fw * 8        # pix tables re-stream
+                  + n_rob * wins * fw * 4      # out
+                  + map_h * map_w * 2)         # packed map, once
+    fill_flops = n_rob * wins * 2.0 * bm_k * bn_k * fw  # one-hot dots
 
+    paint_bytes = paint_flops = 0.0
     if getattr(env, "paint_ks", None) is not None:
         from img_env_tpu.ops.pallas_paint import NR as PAINT_NR
 
         ks_p = env.paint_ks
         tbl_bytes = sum(cl.sstep.nbytes for cl in ks_p.classes)
         chunks = (n_rob + PAINT_NR - 1) // PAINT_NR
-        extra_bytes += (chunks * tbl_bytes
-                        + n_rob * ks_p.n_slots * 4
-                        + chunks * ks_p.r_pad * PAINT_NR * 8)
+        paint_bytes = (chunks * tbl_bytes
+                       + n_rob * ks_p.n_slots * 4
+                       + chunks * ks_p.r_pad * PAINT_NR * 8)
         ent = sum(cl.sstep.shape[0] * cl.w for cl in ks_p.classes) * 128
-        extra_flops += n_rob * ent * (2.0 * PAINT_NR + 6.0)
+        paint_flops = n_rob * ent * (2.0 * PAINT_NR + 6.0)
     elif getattr(env, "paint_kst", None) is not None:
         from img_env_tpu.ops.pallas_paint_t import G8, NRT
 
@@ -66,13 +69,21 @@ def pallas_extra_traffic(env, state):
         nch_t = n_pad_t // NRT
         tbl_bytes = sum(cl.ta.nbytes + cl.tb.nbytes for cl in ks_t.classes)
         rows = sum(cl.ta.shape[0] for cl in ks_t.classes)
-        extra_bytes += (nch_t * tbl_bytes
-                        + rows * G8 * n_pad_t * 4
-                        + nch_t * ks_t.r_pad * NRT * 8)
+        paint_bytes = (nch_t * tbl_bytes
+                       + rows * G8 * n_pad_t * 4
+                       + nch_t * ks_t.r_pad * NRT * 8)
         ent = sum(cl.ta.shape[0] * G8 * cl.w for cl in ks_t.classes)
-        extra_flops += n_pad_t * ent * 9.0
+        paint_flops = n_pad_t * ent * 9.0
 
-    return float(extra_bytes), float(extra_flops)
+    return ((float(fill_bytes), float(fill_flops)),
+            (float(paint_bytes), float(paint_flops)))
+
+
+def pallas_extra_traffic(env, state):
+    """(total_extra_bytes, total_extra_flops) — aggregate of the kernel
+    components above (bench.py's headline roofline field)."""
+    (fb, ff), (pb, pf) = pallas_traffic_components(env, state)
+    return fb + pb, ff + pf
 
 
 def roofline_row(measured_ms, flops, bts):

@@ -67,23 +67,13 @@ def main():
           f"stream estimates; VPU-bound stages look artificially far from "
           f"'light')")
 
-    # Pallas-side traffic XLA cannot count (shared with bench.py's
-    # headline roofline field) -------------------------------------------
-    from benchmarks.roofline import pallas_extra_traffic
+    # Pallas-side traffic XLA cannot count — single source of truth in
+    # benchmarks/roofline.py (shared with bench.py's headline field)
+    from benchmarks.roofline import pallas_traffic_components
 
-    fw = int(ps.fill_window)
-    bm_k, bn_k, n_cp = pallas_fill._block_dims(ps, float(st.resolution))
-    nf = int(ps.n_fill_slots)
-    wins = ((nf + fw * pallas_fill.WIN_PER_STEP - 1)
-            // (fw * pallas_fill.WIN_PER_STEP)) * pallas_fill.WIN_PER_STEP
-    map_h, map_w = state.obs_map.shape
-    fill_extra_bytes = (n_rob * wins * fw * 8        # pix tables re-stream
-                        + n_rob * wins * fw * 4      # out
-                        + map_h * map_w * 2)         # packed map, once
-    fill_extra_flops = n_rob * wins * 2.0 * bm_k * bn_k * fw  # one-hot dots
-    tot_extra_bytes, tot_extra_flops = pallas_extra_traffic(env, state)
-    paint_extra_bytes = tot_extra_bytes - fill_extra_bytes
-    paint_extra_flops = tot_extra_flops - fill_extra_flops
+    ((fill_extra_bytes, fill_extra_flops),
+     (paint_extra_bytes, paint_extra_flops)) = pallas_traffic_components(
+        env, state)
 
     def jitter(i):
         return base_pose.at[:, 2].add(0.001 * i)

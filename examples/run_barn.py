@@ -49,6 +49,14 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.mpc and not args.batched:
+        raise SystemExit("--mpc needs --batched (the sequential suite "
+                         "drives the straight-at-goal baseline only; "
+                         "silently ignoring --mpc would mislabel the CSV)")
+
+    import bench
+
+    bench._enable_compile_cache()   # chunked runs reuse one executable
 
     from img_env_tpu.config import EnvConfig
     from img_env_tpu.datasets import barn

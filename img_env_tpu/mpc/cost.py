@@ -234,16 +234,25 @@ def geodesic_field(edt, resolution: float, goal_xy, robot_radius: float,
     This is the TPU-native analogue of the global planner the reference's
     BARN protocol runs under move_base: a purely local clearance-respecting
     MPC dead-ends in cave-like BARN worlds (the Euclidean goal term pulls
-    into concave pockets); following the geodesic field is global guidance
-    at zero per-step cost (one bilinear lookup, same as the EDT)."""
+    into concave pockets); the per-step cost is one bilinear lookup (the
+    field itself is recomputed once per SOLVE inside batched_mppi — cheap
+    fused elementwise passes, but not free; cache it upstream if a
+    workload ever makes it hot).
+
+    Default iterations = 2*(h+w): the front advances one cell per
+    iteration along the path, so this covers serpentine shortest paths up
+    to twice the map semiperimeter; the saturation value ``big`` sits
+    above the longest representable path so reachable cells are never
+    clipped.  Raise ``iters`` for pathological mazes."""
     h, w = edt.shape
     free = edt > robot_radius
-    big = (h + w) * resolution * 2.0
+    n_it = iters if iters > 0 else 2 * (h + w)
+    big = (n_it + 2.0) * resolution * 1.4142135   # > any reachable value
     gr = jnp.clip(jnp.round(goal_xy[0] / resolution).astype(jnp.int32),
                   0, h - 1)
     gc = jnp.clip(jnp.round(goal_xy[1] / resolution).astype(jnp.int32),
                   0, w - 1)
-    d0 = jnp.where(free, big, big).at[gr, gc].set(0.0)
+    d0 = jnp.full((h, w), big).at[gr, gc].set(0.0)
     straight, diag = resolution, resolution * 1.4142135
 
     def shift(a, dr, dc):
@@ -267,7 +276,6 @@ def geodesic_field(edt, resolution: float, goal_xy, robot_radius: float,
         nd = jnp.where(free, nd, big)
         return nd.at[gr, gc].set(0.0)
 
-    n_it = iters if iters > 0 else h + w
     return jax.lax.fori_loop(0, n_it, body, d0)
 
 

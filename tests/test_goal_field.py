@@ -18,7 +18,8 @@ RES = 0.1
 
 def _dijkstra(free, goal, res):
     h, w = free.shape
-    big = (h + w) * res * 2.0
+    # match geodesic_field's saturation: (2*(h+w)+2) * res * sqrt2
+    big = (2 * (h + w) + 2.0) * res * 1.4142135
     dist = np.full((h, w), big)
     dist[goal] = 0.0
     pq = [(0.0, goal)]
