@@ -126,3 +126,29 @@ def test_batched_equals_sequential(tmp_path):
     # every episode produced a real outcome code
     assert set(np.unique(bat_dones)) <= {1, 2, 3, 5, 10}
     assert summary["episodes"] == EPISODES
+
+
+def test_batched_evaluator_mpc_and_recorder():
+    """The matrix driver's paths through the trusted evaluator: the MPC
+    controller rides the scene axis, and record=True emits an
+    EpisodeRecorder whose per-scene episodes carry poses/goals/dones."""
+    import pytest
+
+    pytest.importorskip("jax")
+    from img_env_tpu.mpc import MppiConfig
+
+    cfg = EnvConfig.from_dict(_cfg_dict())
+    bank = ScenarioBank.generate(5, 3)
+    summary, dones, rec = evaluate_batched(
+        cfg, None, 3, bank=bank, mpc=MppiConfig(horizon=4, samples=16),
+        record=True)
+    assert dones.shape == (3, 2)
+    assert set(np.unique(dones)) <= {1, 2, 3, 5, 10}
+    assert summary["episodes"] == 3
+    assert "ped_min_dist_mean" in summary
+    assert len(rec.episodes) == 3
+    ep = rec.episodes[0]
+    assert ep.goals.shape == (2, 2)
+    assert ep.dones_info.shape == (2,)
+    assert len(ep.robot_poses) >= 1
+    assert np.asarray(ep.robot_vws[0]).shape == (2, 2)
