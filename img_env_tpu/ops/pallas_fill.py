@@ -60,7 +60,14 @@ def _block_dims(ps, res: float):
     return bm, bn, 1
 
 
-WIN_PER_STEP = 8   # fill windows per grid step (8-sublane-aligned blocks)
+WIN_PER_STEP = 64   # fill windows per grid step (8-sublane-aligned
+                    # blocks).  8 -> 64 swept in round 5 on the stable
+                    # scan-mode bench: 15.37 -> 14.94 (16) -> 14.63 (32)
+                    # -> 14.55 ms (64) — more independent dots in the
+                    # phase-ordered straight-line body pipeline at issue
+                    # rate; multi-scene 4x50 17.5 -> 16.7 ms.  Parity
+                    # suite bit-green at 64 (tests/test_pallas_fill.py,
+                    # test_fullres_parity, test_multiscene_flat).
 
 
 def _fill_kernel(pose_ref, pixx_ref, pixy_ref, map_ref, out_ref,
